@@ -1,0 +1,337 @@
+"""Edge packing: splits, type-binned sorting, degrees, and static-shape padding.
+
+This is the TPU-shaping step the reference lacks.  All model-facing edge
+buffers are:
+
+  * **type-binned**: edges of relation ``t`` occupy the contiguous slice
+    ``range_list[t] = (start, end)`` (the reference's ``get_range_list``
+    layout, reference: src/utils.py:26-32);
+  * **destination-sorted within each bin**, so the (relation, dst) segment
+    ids of the whole buffer are globally non-decreasing and every
+    aggregation is a sorted segment reduction;
+  * **optionally padded** to chunk multiples per bin so Pallas kernels see
+    static per-chunk shapes with no bin straddling a chunk boundary.
+
+The 90/10 split reproduces the reference semantics (reference:
+src/utils.py:35-65): per-relation Bernoulli over the unique (upper
+triangular) pairs, then both directions of every kept pair enter the same
+split, so a pair is never split across train/test.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class TypedEdges:
+    """A type-binned edge buffer over a single node set.
+
+    edge_index: [2, E] int32 (src, dst) — directed; undirected relations
+        store both directions.
+    edge_type:  [E] int32 — compact relation id in [0, n_et).
+    range_list: [n_et, 2] int32 — (start, end) slice per relation.
+    """
+
+    edge_index: np.ndarray
+    edge_type: np.ndarray
+    range_list: np.ndarray
+
+    @property
+    def n_edges(self) -> int:
+        return int(self.edge_index.shape[1])
+
+    @property
+    def n_et(self) -> int:
+        return int(self.range_list.shape[0])
+
+    def counts(self) -> np.ndarray:
+        return self.range_list[:, 1] - self.range_list[:, 0]
+
+
+def _ranges_from_counts(counts: np.ndarray) -> np.ndarray:
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.stack([starts, ends], axis=1).astype(np.int32)
+
+
+def concat_typed(pair_list: List[np.ndarray]) -> TypedEdges:
+    """Concatenate per-relation [2, nnz_t] pair arrays into one typed buffer."""
+    counts = np.array([p.shape[1] for p in pair_list], dtype=np.int64)
+    edge_index = (
+        np.concatenate(pair_list, axis=1).astype(np.int32)
+        if pair_list
+        else np.zeros((2, 0), np.int32)
+    )
+    edge_type = np.repeat(np.arange(len(pair_list), dtype=np.int32), counts)
+    return TypedEdges(edge_index, edge_type, _ranges_from_counts(counts))
+
+
+def to_bidirected(pairs: np.ndarray) -> np.ndarray:
+    """[2, m] pairs -> [2, 2m] with both directions (reference: src/utils.py:17-23)."""
+    return np.concatenate([pairs, pairs[::-1]], axis=1)
+
+
+def split_typed_edges(
+    pair_list: List[np.ndarray],
+    p: float = 0.9,
+    seed: int = 1111,
+    bidirect: bool = True,
+) -> Tuple[TypedEdges, TypedEdges]:
+    """Per-relation Bernoulli(p) split of unique pairs, then mirror each side.
+
+    Matches reference ``process_edges`` (src/utils.py:35-65) semantics with a
+    seeded generator for reproducibility.
+    """
+    rng = np.random.default_rng(seed)
+    train_list, test_list = [], []
+    for pairs in pair_list:
+        m = pairs.shape[1]
+        keep = rng.random(m) < p
+        tr, te = pairs[:, keep], pairs[:, ~keep]
+        if bidirect:
+            tr, te = to_bidirected(tr), to_bidirected(te)
+        train_list.append(tr)
+        test_list.append(te)
+    return concat_typed(train_list), concat_typed(test_list)
+
+
+def sort_typed_edges(edges: TypedEdges) -> TypedEdges:
+    """Sort within each relation bin by (dst, src).
+
+    Because bins are contiguous and type-ordered, the resulting buffer is
+    globally sorted by the segment id ``type * n_nodes + dst`` — the layout
+    every sorted-segment aggregation in ops/ relies on.
+    """
+    src, dst = edges.edge_index
+    et = edges.edge_type
+    order = np.lexsort((src, dst, et))
+    return TypedEdges(
+        edges.edge_index[:, order].copy(), et[order].copy(), edges.range_list
+    )
+
+
+def in_degree(edge_index: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Total in-degree per destination across ALL relations.
+
+    This is the mean-aggregation denominator: the reference aggregates with
+    ``aggr='mean'`` over the whole concatenated edge list (reference:
+    src/layers.py:123), so the denominator is the cross-relation in-degree.
+    """
+    return np.bincount(edge_index[1], minlength=n_nodes).astype(np.int64)
+
+
+def encode_keys(edges: TypedEdges, n_nodes: int) -> np.ndarray:
+    """Unique int64 key per edge, encoded (type, dst, src) to match the
+    sort order of :func:`sort_typed_edges` — ascending over the sorted buffer."""
+    src, dst = edges.edge_index.astype(np.int64)
+    return (edges.edge_type.astype(np.int64) * n_nodes + dst) * n_nodes + src
+
+
+@dataclass
+class PaddedTypedEdges:
+    """Chunk-aligned padding of a TypedEdges buffer for Pallas kernels.
+
+    Each relation bin is padded to a multiple of ``chunk``; padded slots get
+    ``dst = n_nodes`` (one past the last valid node) so a one-hot over
+    ``[0, n_nodes)`` zeroes them out, and ``src = 0`` (masked by dst).
+    ``chunk_type[i]`` is the relation id owning chunk ``i`` — no chunk
+    straddles two relations.
+    """
+
+    src: np.ndarray  # [Ep] int32
+    dst: np.ndarray  # [Ep] int32 (n_nodes for padding)
+    chunk_type: np.ndarray  # [Ep // chunk] int32
+    range_list: np.ndarray  # [n_et, 2] int32 ranges in the PADDED buffer
+    valid: np.ndarray  # [Ep] bool
+    chunk: int
+    n_valid: int
+
+
+def pad_typed_edges(edges: TypedEdges, n_nodes: int, chunk: int = 512) -> PaddedTypedEdges:
+    counts = edges.counts()
+    padded_counts = np.maximum(1, -(-counts // chunk)) * chunk
+    total = int(padded_counts.sum())
+    src = np.zeros(total, np.int32)
+    dst = np.full(total, n_nodes, np.int32)
+    valid = np.zeros(total, bool)
+    new_ranges = _ranges_from_counts(padded_counts)
+    for t in range(edges.n_et):
+        s_old, e_old = edges.range_list[t]
+        s_new = new_ranges[t, 0]
+        n = e_old - s_old
+        src[s_new : s_new + n] = edges.edge_index[0, s_old:e_old]
+        dst[s_new : s_new + n] = edges.edge_index[1, s_old:e_old]
+        valid[s_new : s_new + n] = True
+    chunk_type = np.repeat(
+        np.arange(edges.n_et, dtype=np.int32), padded_counts // chunk
+    )
+    return PaddedTypedEdges(
+        src=src,
+        dst=dst,
+        chunk_type=chunk_type,
+        range_list=new_ranges,
+        valid=valid,
+        chunk=chunk,
+        n_valid=edges.n_edges,
+    )
+
+
+# ---------------------------------------------------------------------------
+# GCN normalization (host-side, cached — reference: PyG gcn_norm semantics,
+# used by GCNConv(cached=True) at src/layers.py:386-387)
+# ---------------------------------------------------------------------------
+
+
+def gcn_normalize(
+    edge_index: np.ndarray, n_nodes: int, add_self_loops: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (edge_index', weight) for D^-1/2 (A + I) D^-1/2.
+
+    Degrees include the self loop, matching PyG's ``gcn_norm``.  The output
+    edge list is destination-sorted for sorted-segment SpMM.
+    """
+    if add_self_loops:
+        loops = np.tile(np.arange(n_nodes, dtype=np.int32), (2, 1))
+        edge_index = np.concatenate([edge_index.astype(np.int32), loops], axis=1)
+    deg = np.bincount(edge_index[1], minlength=n_nodes).astype(np.float64)
+    dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1)), 0.0)
+    weight = (dinv[edge_index[0]] * dinv[edge_index[1]]).astype(np.float32)
+    order = np.lexsort((edge_index[0], edge_index[1]))
+    return edge_index[:, order].copy(), weight[order].copy()
+
+
+# ---------------------------------------------------------------------------
+# The packed tri-graph handed to the model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TriGraphData:
+    """Everything the TIP model consumes, as static-shape numpy arrays."""
+
+    n_drug: int
+    n_prot: int
+    n_et: int
+
+    # D-D multigraph (type-binned, dst-sorted within bins)
+    dd_train: TypedEdges
+    dd_test: TypedEdges
+    dd_train_deg: np.ndarray  # [n_drug] total in-degree over train edges
+    dd_train_keys: np.ndarray  # [E_train] int64 sorted (type,src,dst) keys
+    dd_test_keys: np.ndarray  # [E_test] int64 sorted keys
+
+    # P-P graph: raw symmetric train/test edges + cached GCN normalization
+    pp_train: np.ndarray  # [2, Epp_train]
+    pp_test: np.ndarray  # [2, Epp_test]
+    pp_norm_index: np.ndarray  # [2, Epp_train + n_prot] dst-sorted, self loops
+    pp_norm_weight: np.ndarray  # [Epp_train + n_prot] float32
+
+    # P->D bipartite edges (protein src, drug dst), dst-sorted
+    dp_edge_index: np.ndarray  # [2, Edp]
+    dp_drug_deg: np.ndarray  # [n_drug]
+
+    # Optional general drug feature matrix (None => identity fast path)
+    drug_feat: Optional[object] = None  # scipy CSR if present
+    d_norm: Optional[np.ndarray] = None  # [n_drug] divisor (ones by default)
+
+
+def split_pp_edges(
+    pp_edge_index: np.ndarray, p: float = 0.9, seed: int = 1111
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dedup symmetric P-P edges, Bernoulli split the unique pairs, re-mirror.
+
+    Mirrors reference ``process_prot_edge`` (data/utils.py:212-229): unique
+    pairs are taken as src > dst, each side of the split is re-mirrored so
+    both splits are symmetric edge lists.
+    """
+    keep = pp_edge_index[0] > pp_edge_index[1]
+    pairs = pp_edge_index[:, keep]
+    rng = np.random.default_rng(seed + 7)
+    mask = rng.random(pairs.shape[1]) < p
+    return to_bidirected(pairs[:, mask]), to_bidirected(pairs[:, ~mask])
+
+
+def build_trigraph(
+    raw,
+    split_rate: float = 0.9,
+    seed: int = 1111,
+) -> TriGraphData:
+    """Pack a DecagonRaw into the model-ready TriGraphData."""
+    dd_train, dd_test = split_typed_edges(raw.dd_pair_list, p=split_rate, seed=seed)
+    dd_train = sort_typed_edges(dd_train)
+    dd_test = sort_typed_edges(dd_test)
+
+    pp_train, pp_test = split_pp_edges(raw.pp_edge_index, p=split_rate, seed=seed)
+    pp_norm_index, pp_norm_weight = gcn_normalize(pp_train, raw.n_prot)
+
+    dp = raw.dp_edge_index
+    order = np.lexsort((dp[0], dp[1]))
+    dp = dp[:, order].copy()
+
+    return TriGraphData(
+        n_drug=raw.n_drug,
+        n_prot=raw.n_prot,
+        n_et=len(raw.dd_pair_list),
+        dd_train=dd_train,
+        dd_test=dd_test,
+        dd_train_deg=in_degree(dd_train.edge_index, raw.n_drug),
+        dd_train_keys=encode_keys(dd_train, raw.n_drug),
+        dd_test_keys=encode_keys(dd_test, raw.n_drug),
+        pp_train=pp_train,
+        pp_test=pp_test,
+        pp_norm_index=pp_norm_index,
+        pp_norm_weight=pp_norm_weight,
+        dp_edge_index=dp,
+        dp_drug_deg=in_degree(dp, raw.n_drug),
+    )
+
+
+def synthetic_trigraph(
+    n_drug: int = 64,
+    n_prot: int = 128,
+    n_et: int = 7,
+    pairs_per_et: int = 40,
+    n_pp_pairs: int = 300,
+    n_dp: int = 100,
+    seed: int = 0,
+):
+    """A small random tri-graph with the same invariants, for tests/CI."""
+    from tip_tpu.data.decagon import DecagonRaw
+
+    rng = np.random.default_rng(seed)
+    dd_pair_list = []
+    for _ in range(n_et):
+        m = int(pairs_per_et * (0.5 + rng.random()))
+        a = rng.integers(0, n_drug, size=(2, m), dtype=np.int32)
+        keep = a[0] != a[1]
+        a = a[:, keep]
+        lo, hi = np.minimum(a[0], a[1]), np.maximum(a[0], a[1])
+        pairs = np.unique(np.stack([lo, hi]), axis=1)
+        dd_pair_list.append(pairs.astype(np.int32))
+    ppa = rng.integers(0, n_prot, size=(2, n_pp_pairs), dtype=np.int32)
+    ppa = ppa[:, ppa[0] != ppa[1]]
+    lo, hi = np.minimum(ppa[0], ppa[1]), np.maximum(ppa[0], ppa[1])
+    pp_pairs = np.unique(np.stack([hi, lo]), axis=1)  # src > dst convention
+    pp_edge_index = to_bidirected(pp_pairs.astype(np.int32))
+    dp = np.unique(
+        np.stack(
+            [
+                rng.integers(0, n_prot, n_dp, dtype=np.int32),
+                rng.integers(0, n_drug, n_dp, dtype=np.int32),
+            ]
+        ),
+        axis=1,
+    )
+    raw = DecagonRaw(
+        n_drug=n_drug,
+        n_prot=n_prot,
+        dd_pair_list=dd_pair_list,
+        et_ids=np.arange(n_et, dtype=np.int32),
+        pp_edge_index=pp_edge_index,
+        dp_edge_index=dp,
+    )
+    return raw

@@ -1,0 +1,71 @@
+"""Basis-decomposed relational graph convolution, TPU-shaped.
+
+Same math as the reference's MyRGCNConv / MyRGCNConv2 (reference:
+src/layers.py:21-193) — per-relation weight W_t = sum_b att[t, b] * basis_b,
+messages m_e = x[src_e] @ W_{et_e}, scatter-MEAN into destinations with the
+cross-relation in-degree as denominator, plus a root/self term x @ root —
+but reorganized for the MXU:
+
+    out[d] = (1/deg[d]) * sum_t ( sum_{e in t, dst=d} x[src_e] ) @ W_t
+                + x[d] @ root
+
+1. ``typed_neighbor_sum`` bins the neighbor-feature sums into
+   P[t, d, :] with ONE sorted segment-sum over the whole edge buffer —
+   no per-relation Python loop (the reference iterates 1,097 times per
+   layer per step, reference: src/layers.py:169-177).
+2. The relation matmuls collapse through the basis:
+        sum_t P[t] @ W_t = sum_b ( sum_t att[t, b] P[t] ) @ basis_b
+   i.e. two dense einsums with a [num_base, n_nodes, d_in] intermediate —
+   large, static matmuls that tile onto the systolic array.
+
+Numerically identical to the reference up to float reassociation
+(validated allclose against a numpy oracle in tests/test_rgcn.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tip_tpu.nn import initializers as init
+from tip_tpu.ops import typed_neighbor_sum, mean_from_sum
+
+
+def rgcn_init(
+    key,
+    in_dim: int,
+    out_dim: int,
+    n_et: int,
+    n_base: int,
+    after_relu: bool,
+    bias: bool = False,
+):
+    """Parameters and init distributions of reference src/layers.py:131-155."""
+    k_att, k_basis, k_root = jax.random.split(key, 3)
+    std = init.rgcn_std(in_dim, after_relu)
+    params = {
+        "att": init.normal(k_att, (n_et, n_base), std=1.0 / jnp.sqrt(n_base)),
+        "basis": init.normal(k_basis, (n_base, in_dim, out_dim), std=std),
+        "root": init.normal(k_root, (in_dim, out_dim), std=std),
+    }
+    if bias:
+        params["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return params
+
+
+def rgcn_apply(params, x, src, dst, edge_type, degree, n_nodes: int, n_et: int):
+    """x: [n_nodes, d_in] -> [n_nodes, d_out].
+
+    ``degree`` is the total in-degree over the WHOLE edge buffer (all
+    relations), matching aggr='mean' over the concatenated edge list
+    (reference: src/layers.py:123).  Edges must be (type, dst)-sorted.
+    """
+    # [n_et, n_nodes, d_in] binned neighbor sums — the only sparse op.
+    p = typed_neighbor_sum(x, src, dst, edge_type, n_nodes, n_et)
+    # Basis-factored relation matmuls: dense MXU work from here on.
+    q = jnp.einsum("tb,tnd->bnd", params["att"], p)
+    agg = jnp.einsum("bnd,bde->ne", q, params["basis"])
+    out = mean_from_sum(agg, degree) + x @ params["root"]
+    if "bias" in params:
+        out = out + params["bias"]
+    return out
