@@ -1,0 +1,46 @@
+"""CLI entry: ``python -m tip_tpu.train [--mode cat|add] [...]``.
+
+The reference's entry script hard-codes everything (reference: tip.py:6-17);
+this exposes the same run as flags over the typed configs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from tip_tpu.config import add_config_flags, configs_from_args
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Train TIP on the Decagon tri-graph")
+    add_config_flags(parser)
+    parser.add_argument("--data-dir", default=None, help="reference data dir")
+    parser.add_argument("--synthetic", action="store_true", help="tiny random graph")
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--profile-dir", default=None)
+    parser.add_argument("--out", default=None, help="write final metrics JSON here")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from tip_tpu.data import build_trigraph, load_decagon_raw, synthetic_trigraph
+    from tip_tpu.train.loop import train
+
+    cfg, tcfg = configs_from_args(args)
+    if args.synthetic:
+        raw = synthetic_trigraph()
+    else:
+        raw = load_decagon_raw(**({"data_dir": args.data_dir} if args.data_dir else {}))
+    data = build_trigraph(raw, split_rate=tcfg.split_rate, seed=tcfg.seed)
+    _, result = train(cfg, tcfg, data, profile_dir=args.profile_dir)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"final": result["final"], "history": result["history"]}, f)
+
+
+if __name__ == "__main__":
+    main()
