@@ -27,7 +27,7 @@ def test_loss_decreases_and_eval_improves(tiny_graph):
     assert losses[-1] < losses[0] * 0.8, losses
     # a random synthetic graph has little generalizable structure; above
     # chance is all we can ask of held-out edges here
-    assert result["final"]["auroc"] > 0.55
+    assert result["final"]["auroc"] > 0.6
     assert 0 <= result["final"]["auprc"] <= 1
 
 
@@ -44,8 +44,8 @@ def test_variants_train(tiny_graph, mode, decoder):
 
 def test_encode_is_deterministic(tiny_graph):
     cfg = small_cfg()
-    model = TIP.for_data(cfg, tiny_graph)
-    graph = make_graph_arrays(tiny_graph)
+    graph, gs = make_graph_arrays(tiny_graph, dd_chunk=32, pp_window=64, pp_chunk=32)
+    model = TIP.for_data(cfg, tiny_graph, gs)
     params = model.init(jax.random.key(3))
     z1 = model.encode(params, graph)
     z2 = model.encode(params, graph)
@@ -55,8 +55,8 @@ def test_encode_is_deterministic(tiny_graph):
 
 def test_remat_matches_no_remat(tiny_graph):
     cfg = small_cfg()
-    model = TIP.for_data(cfg, tiny_graph)
-    graph = make_graph_arrays(tiny_graph)
+    graph, gs = make_graph_arrays(tiny_graph, dd_chunk=32, pp_window=64, pp_chunk=32)
+    model = TIP.for_data(cfg, tiny_graph, gs)
     params = model.init(jax.random.key(4))
     k = jax.random.key(5)
     l1 = model.loss(params, graph, k, remat=False)
@@ -75,7 +75,8 @@ def test_checkpoint_roundtrip(tiny_graph, tmp_path):
     import optax
 
     cfg = small_cfg()
-    model = TIP.for_data(cfg, tiny_graph)
+    _, gs = make_graph_arrays(tiny_graph, dd_chunk=32, pp_window=64, pp_chunk=32)
+    model = TIP.for_data(cfg, tiny_graph, gs)
     params = model.init(jax.random.key(6))
     state = TrainState(params=params, opt_state=optax.adam(0.01).init(params), step=7)
     path = str(tmp_path / "ck")

@@ -1,0 +1,147 @@
+"""Pallas kernels vs the XLA oracle path (interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from tip_tpu.data.packing import (
+    split_typed_edges,
+    sort_typed_edges,
+    pad_typed_edges,
+)
+from tip_tpu.data import synthetic_trigraph
+from tip_tpu.ops.segment import typed_neighbor_sum
+from tip_tpu.ops.pallas_segment import typed_neighbor_sum_padded
+
+
+@pytest.fixture(scope="module")
+def packed():
+    raw = synthetic_trigraph(n_drug=40, n_prot=10, n_et=5, pairs_per_et=70, seed=2)
+    edges, _ = split_typed_edges(raw.dd_pair_list, p=0.95, seed=0)
+    edges = sort_typed_edges(edges)
+    padded = pad_typed_edges(edges, raw.n_drug, chunk=32)
+    return raw, edges, padded
+
+
+def _padded_2d(padded):
+    n_chunks = padded.chunk_type.shape[0]
+    return (
+        jnp.asarray(padded.src.reshape(n_chunks, padded.chunk)),
+        jnp.asarray(padded.dst.reshape(n_chunks, padded.chunk)),
+        jnp.asarray(padded.chunk_type),
+    )
+
+
+def test_typed_neighbor_sum_padded_matches_xla(packed):
+    raw, edges, padded = packed
+    n, d = raw.n_drug, 16
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, d)), jnp.float32)
+    src2d, dst2d, ct = _padded_2d(padded)
+    want = typed_neighbor_sum(
+        x, edges.edge_index[0], edges.edge_index[1], edges.edge_type, n, edges.n_et
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = typed_neighbor_sum_padded(x, src2d, dst2d, ct, edges.n_et)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_gcn_spmm_padded_matches_xla():
+    from tip_tpu.data.packing import gcn_normalize, pad_windowed_edges
+    from tip_tpu.ops.segment import weighted_gather_sum
+    from tip_tpu.ops.pallas_segment import gcn_spmm_padded
+
+    rng = np.random.default_rng(5)
+    n, d = 200, 16
+    e = rng.integers(0, n, size=(2, 600), dtype=np.int32)
+    e = e[:, e[0] != e[1]]
+    e = np.unique(np.stack([np.minimum(e[0], e[1]), np.maximum(e[0], e[1])]), axis=1)
+    e = np.concatenate([e, e[::-1]], axis=1)
+    idx, w = gcn_normalize(e, n)
+    win = pad_windowed_edges(idx, w, n, window=64, chunk=32)
+    n_chunks = win.chunk_window.shape[0]
+    src2d = jnp.asarray(win.src.reshape(n_chunks, win.chunk))
+    dstl2d = jnp.asarray(win.dst_local.reshape(n_chunks, win.chunk))
+    w2d = jnp.asarray(win.weight.reshape(n_chunks, win.chunk))
+    cw = jnp.asarray(win.chunk_window)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+
+    want = weighted_gather_sum(x, idx[0], idx[1], jnp.asarray(w), n)
+    with pltpu.force_tpu_interpret_mode():
+        got = gcn_spmm_padded(x, src2d, dstl2d, w2d, cw, win.n_windows, win.window, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # gradient path (symmetric adjacency => bwd reuses fwd kernel)
+    cot = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    g_want = jax.grad(
+        lambda x: jnp.vdot(weighted_gather_sum(x, idx[0], idx[1], jnp.asarray(w), n), cot)
+    )(x)
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(
+            lambda x: jnp.vdot(
+                gcn_spmm_padded(x, src2d, dstl2d, w2d, cw, win.n_windows, win.window, n),
+                cot,
+            )
+        )(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-4)
+
+
+def test_model_backend_parity():
+    """Full encoder+loss parity: pallas kernels vs XLA segment path."""
+    from tip_tpu.config import ModelConfig
+    from tip_tpu.data import synthetic_trigraph, build_trigraph
+    from tip_tpu.train.model import TIP, make_graph_arrays
+
+    raw = synthetic_trigraph(n_drug=40, n_prot=70, n_et=5, pairs_per_et=50, seed=4)
+    data = build_trigraph(raw, split_rate=0.9, seed=4)
+    graph, gs = make_graph_arrays(data, dd_chunk=32, pp_window=64, pp_chunk=32)
+    cfg = ModelConfig(
+        mode="cat", prot_drug_dim=6, n_embed=10, n_hid1=8, n_hid2=6,
+        num_base=4, pp_hid1=8, pp_hid2=6,
+    )
+    m_xla = TIP.for_data(cfg, data, gs, backend="xla")
+    m_pal = TIP.for_data(cfg, data, gs, backend="pallas")
+    params = m_xla.init(jax.random.key(0))
+    k = jax.random.key(1)
+
+    z_xla = m_xla.encode(params, graph)
+    with pltpu.force_tpu_interpret_mode():
+        z_pal = m_pal.encode(params, graph)
+    np.testing.assert_allclose(np.asarray(z_pal), np.asarray(z_xla), atol=1e-4)
+
+    l_xla, g_xla = jax.value_and_grad(lambda p: m_xla.loss(p, graph, k))(params)
+    with pltpu.force_tpu_interpret_mode():
+        l_pal, g_pal = jax.value_and_grad(lambda p: m_pal.loss(p, graph, k))(params)
+    np.testing.assert_allclose(float(l_pal), float(l_xla), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4
+        ),
+        g_pal, g_xla,
+    )
+
+
+def test_typed_neighbor_sum_padded_grad_matches_xla(packed):
+    raw, edges, padded = packed
+    n, d = raw.n_drug, 8
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(n, d)), jnp.float32)
+    src2d, dst2d, ct = _padded_2d(padded)
+    cot = jnp.asarray(
+        np.random.default_rng(2).normal(size=(edges.n_et, n, d)), jnp.float32
+    )
+
+    def loss_xla(x):
+        p = typed_neighbor_sum(
+            x, edges.edge_index[0], edges.edge_index[1], edges.edge_type, n, edges.n_et
+        )
+        return jnp.vdot(p, cot)
+
+    def loss_pallas(x):
+        p = typed_neighbor_sum_padded(x, src2d, dst2d, ct, edges.n_et)
+        return jnp.vdot(p, cot)
+
+    g_want = jax.grad(loss_xla)(x)
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_pallas)(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-4)

@@ -11,12 +11,18 @@ def _graph():
     return build_trigraph(raw, split_rate=0.9, seed=9)
 
 
-def test_negatives_avoid_same_type_positives():
+import pytest
+
+
+@pytest.mark.parametrize("membership", ["bitmap", "sorted_keys"])
+def test_negatives_avoid_same_type_positives(membership):
     g = _graph()
     et = jnp.asarray(g.dd_train.edge_type)
-    keys = jnp.asarray(g.dd_train_keys)
+    positives = jnp.asarray(
+        g.dd_train_bitmap if membership == "bitmap" else g.dd_train_keys
+    )
     src, dst = typed_negative_sampling(
-        jax.random.key(0), et, keys, g.n_drug, rounds=8
+        jax.random.key(0), et, positives, g.n_drug, rounds=8
     )
     src, dst = np.asarray(src), np.asarray(dst)
     assert src.shape == (g.dd_train.n_edges,)
@@ -30,7 +36,7 @@ def test_negatives_avoid_same_type_positives():
 def test_negatives_differ_across_keys_and_are_jittable():
     g = _graph()
     et = jnp.asarray(g.dd_train.edge_type)
-    keys = jnp.asarray(g.dd_train_keys)
+    keys = jnp.asarray(g.dd_train_bitmap)
     f = jax.jit(lambda k: typed_negative_sampling(k, et, keys, g.n_drug))
     s1, d1 = f(jax.random.key(1))
     s2, d2 = f(jax.random.key(2))

@@ -75,6 +75,17 @@ class TrainConfig:
     checkpoint_every: int = 0  # 0 = only final
 
 
+_FLAG_TYPES = {"int": int, "float": float, "str": str, "bool": bool}
+
+
+def _field_type(f: dataclasses.Field):
+    # Under `from __future__ import annotations` f.type is a string.
+    name = f.type if isinstance(f.type, str) else getattr(f.type, "__name__", "str")
+    if name.startswith("Optional[") and name.endswith("]"):
+        name = name[len("Optional["):-1]
+    return _FLAG_TYPES.get(name, str)
+
+
 def add_config_flags(parser: argparse.ArgumentParser) -> None:
     g = parser.add_argument_group("model")
     g.add_argument("--mode", choices=["cat", "add"], default="cat")
@@ -82,14 +93,13 @@ def add_config_flags(parser: argparse.ArgumentParser) -> None:
     for f in dataclasses.fields(ModelConfig):
         if f.name in ("mode", "decoder"):
             continue
-        g.add_argument(f"--{f.name.replace('_', '-')}", type=f.type if f.type is not str else str, default=None)
+        g.add_argument(f"--{f.name.replace('_', '-')}", type=_field_type(f), default=None)
     t = parser.add_argument_group("train")
     for f in dataclasses.fields(TrainConfig):
-        if f.type is bool or f.type == "bool":
+        if _field_type(f) is bool:
             t.add_argument(f"--{f.name.replace('_', '-')}", action="store_true", default=None)
         else:
-            ty = {"float": float, "int": int}.get(str(f.type), str)
-            t.add_argument(f"--{f.name.replace('_', '-')}", type=ty, default=None)
+            t.add_argument(f"--{f.name.replace('_', '-')}", type=_field_type(f), default=None)
 
 
 def configs_from_args(args: argparse.Namespace):

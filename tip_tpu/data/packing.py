@@ -180,6 +180,72 @@ def pad_typed_edges(edges: TypedEdges, n_nodes: int, chunk: int = 512) -> Padded
     )
 
 
+@dataclass
+class WindowedEdges:
+    """Destination-windowed, chunk-aligned edge buffer for the Pallas SpMM.
+
+    Edges are grouped by destination window (``dst // window``); each
+    window's edge list is padded to a multiple of ``chunk`` so no chunk
+    straddles a window.  ``dst_local`` is the in-window destination
+    (``window`` itself marks padding — one past the valid range, zero row in
+    the kernel's one-hot).  Every window gets at least one chunk so its
+    output block is always zero-initialized.
+    """
+
+    src: np.ndarray  # [Ep] int32 (padding: 0)
+    dst_local: np.ndarray  # [Ep] int32 (padding: window)
+    weight: np.ndarray  # [Ep] float32 (padding: 0)
+    chunk_window: np.ndarray  # [n_chunks] int32, non-decreasing
+    window: int
+    chunk: int
+    n_windows: int
+    n_valid: int
+
+
+def pad_windowed_edges(
+    edge_index: np.ndarray,
+    weight: Optional[np.ndarray],
+    n_nodes: int,
+    window: int = 512,
+    chunk: int = 512,
+) -> WindowedEdges:
+    """Window a dst-sorted weighted edge list for the windowed scatter kernel."""
+    src, dst = edge_index
+    assert np.all(np.diff(dst) >= 0), "edges must be dst-sorted"
+    if weight is None:
+        weight = np.ones(src.shape[0], np.float32)
+    n_windows = -(-n_nodes // window)
+    win_of_edge = dst // window
+    counts = np.bincount(win_of_edge, minlength=n_windows)
+    padded_counts = np.maximum(1, -(-counts // chunk)) * chunk
+    total = int(padded_counts.sum())
+    ends = np.cumsum(padded_counts)
+    starts = ends - padded_counts
+    p_src = np.zeros(total, np.int32)
+    p_dst = np.full(total, window, np.int32)
+    p_w = np.zeros(total, np.float32)
+    in_starts = np.cumsum(counts) - counts
+    for wi in range(n_windows):
+        n = counts[wi]
+        s_in, s_out = in_starts[wi], starts[wi]
+        p_src[s_out : s_out + n] = src[s_in : s_in + n]
+        p_dst[s_out : s_out + n] = dst[s_in : s_in + n] - wi * window
+        p_w[s_out : s_out + n] = weight[s_in : s_in + n]
+    chunk_window = np.repeat(
+        np.arange(n_windows, dtype=np.int32), padded_counts // chunk
+    )
+    return WindowedEdges(
+        src=p_src,
+        dst_local=p_dst,
+        weight=p_w,
+        chunk_window=chunk_window,
+        window=window,
+        chunk=chunk,
+        n_windows=n_windows,
+        n_valid=src.shape[0],
+    )
+
+
 # ---------------------------------------------------------------------------
 # GCN normalization (host-side, cached — reference: PyG gcn_norm semantics,
 # used by GCNConv(cached=True) at src/layers.py:386-387)
@@ -221,8 +287,10 @@ class TriGraphData:
     dd_train: TypedEdges
     dd_test: TypedEdges
     dd_train_deg: np.ndarray  # [n_drug] total in-degree over train edges
-    dd_train_keys: np.ndarray  # [E_train] int64 sorted (type,src,dst) keys
+    dd_train_keys: np.ndarray  # [E_train] int64 sorted (type,dst,src) keys
     dd_test_keys: np.ndarray  # [E_test] int64 sorted keys
+    dd_train_bitmap: np.ndarray  # packed uint32 membership bitmap (train keys)
+    dd_test_bitmap: np.ndarray  # packed uint32 membership bitmap (test keys)
 
     # P-P graph: raw symmetric train/test edges + cached GCN normalization
     pp_train: np.ndarray  # [2, Epp_train]
@@ -272,6 +340,12 @@ def build_trigraph(
     order = np.lexsort((dp[0], dp[1]))
     dp = dp[:, order].copy()
 
+    from tip_tpu.sampling.negative import build_key_bitmap
+
+    key_space = len(raw.dd_pair_list) * raw.n_drug * raw.n_drug
+    train_keys = encode_keys(dd_train, raw.n_drug)
+    test_keys = encode_keys(dd_test, raw.n_drug)
+
     return TriGraphData(
         n_drug=raw.n_drug,
         n_prot=raw.n_prot,
@@ -279,8 +353,10 @@ def build_trigraph(
         dd_train=dd_train,
         dd_test=dd_test,
         dd_train_deg=in_degree(dd_train.edge_index, raw.n_drug),
-        dd_train_keys=encode_keys(dd_train, raw.n_drug),
-        dd_test_keys=encode_keys(dd_test, raw.n_drug),
+        dd_train_keys=train_keys,
+        dd_test_keys=test_keys,
+        dd_train_bitmap=build_key_bitmap(train_keys, key_space),
+        dd_test_bitmap=build_key_bitmap(test_keys, key_space),
         pp_train=pp_train,
         pp_test=pp_test,
         pp_norm_index=pp_norm_index,
@@ -299,14 +375,25 @@ def synthetic_trigraph(
     n_dp: int = 100,
     seed: int = 0,
 ):
-    """A small random tri-graph with the same invariants, for tests/CI."""
+    """A small random tri-graph with the same invariants, for tests/CI.
+
+    Each relation's pairs concentrate inside a random node community so the
+    graph has learnable structure (held-out edges are predictable) — a pure
+    Erdos-Renyi graph would make accuracy assertions meaningless.
+    """
     from tip_tpu.data.decagon import DecagonRaw
 
     rng = np.random.default_rng(seed)
     dd_pair_list = []
     for _ in range(n_et):
         m = int(pairs_per_et * (0.5 + rng.random()))
-        a = rng.integers(0, n_drug, size=(2, m), dtype=np.int32)
+        community = rng.choice(n_drug, size=max(4, n_drug // 3), replace=False)
+        in_comm = rng.random(m) < 0.85
+        a = np.where(
+            in_comm[None, :],
+            rng.choice(community, size=(2, m)).astype(np.int32),
+            rng.integers(0, n_drug, size=(2, m), dtype=np.int32),
+        )
         keep = a[0] != a[1]
         a = a[:, keep]
         lo, hi = np.minimum(a[0], a[1]), np.maximum(a[0], a[1])

@@ -24,6 +24,39 @@ def distmult_apply(params, z, src, dst, edge_type, sigmoid: bool = True):
     return distmult_score(z, params["weight"], src, dst, edge_type, sigmoid=sigmoid)
 
 
+def distmult_apply_padded(
+    params, z, src2d, dst2d, chunk_type, sigmoid: bool = True, backend: str = "xla"
+):
+    """Chunk-aligned variant returning flat scores [n_chunks * chunk].
+
+    'pallas' runs the fused SDDMM kernel (no [E, d] intermediates — the XLA
+    path materializes several, 8x-padded on TPU; see ops/pallas_segment.py).
+    """
+    if backend == "pallas":
+        from tip_tpu.ops.pallas_segment import distmult_logits_padded
+
+        logits = distmult_logits_padded(
+            z, params["weight"], src2d, dst2d, chunk_type
+        ).reshape(-1)
+    else:
+        chunk = src2d.shape[1]
+        src = src2d.reshape(-1)
+        # clamp padding dst (= n_nodes) into range; masked out by the caller
+        dst = jnp.minimum(dst2d.reshape(-1), z.shape[0] - 1)
+        et = jnp.repeat(chunk_type, chunk)
+        logits = jnp.sum(z[src] * z[dst] * params["weight"][et], axis=-1)
+    return jax.nn.sigmoid(logits) if sigmoid else logits
+
+
+def nn_decoder_apply_padded(params, z, src2d, dst2d, chunk_type, sigmoid: bool = True):
+    """Chunk-aligned NN decoder (XLA path; padding clamped, caller masks)."""
+    chunk = src2d.shape[1]
+    src = src2d.reshape(-1)
+    dst = jnp.minimum(dst2d.reshape(-1), z.shape[0] - 1)
+    et = jnp.repeat(chunk_type, chunk)
+    return nn_decoder_apply(params, z, src, dst, et, sigmoid=sigmoid)
+
+
 def nn_decoder_init(key, in_dim: int, n_et: int, l1_dim: int = 16):
     """Per-drug 2-layer MLP decoder params (reference: src/layers.py:610-618)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)

@@ -48,6 +48,19 @@ def pp_encoder_apply(params, x_prot, norm_index, norm_weight, n_prot: int):
     return gcn_conv_apply(params["conv2"], h, norm_index, norm_weight, n_prot)
 
 
+def pp_encoder_apply_windowed(params, x_prot, graph, gs):
+    """Pallas windowed-SpMM path over the pre-windowed P-P buffers."""
+    from tip_tpu.nn.gcn import gcn_conv_apply_windowed
+
+    args = (
+        graph["ppw_src"], graph["ppw_dstl"], graph["ppw_w"],
+        graph["ppw_chunk_window"], gs.pp_n_windows, gs.pp_window, gs.n_prot,
+    )
+    h = gcn_conv_apply_windowed(params["conv1"], x_prot, *args)
+    h = jax.nn.relu(h)
+    return gcn_conv_apply_windowed(params["conv2"], h, *args)
+
+
 # ---------------------------------------------------------------------------
 # FMEncoder: the full tri-graph encoder (TIP-cat / TIP-add)
 # ---------------------------------------------------------------------------
@@ -77,9 +90,8 @@ def fm_encoder_apply(
     params,
     graph,
     cfg: ModelConfig,
-    n_drug: int,
-    n_prot: int,
-    n_et: int,
+    gs,
+    backend: str = "xla",
     x_drug=None,
     x_prot=None,
     d_norm=None,
@@ -88,15 +100,24 @@ def fm_encoder_apply(
 
     Mirrors reference FMEncoder.forward (src/layers.py:520-550): P-P GCN ->
     protein->drug hierarchy conv -> drug embedding (cat or add) -> two R-GCN
-    layers with a ReLU between.
+    layers with a ReLU between.  ``gs`` is the static GraphStatic metadata
+    (train/model.py); ``backend`` selects the XLA segment path or the Pallas
+    one-hot MXU kernels for the two sparse hot paths (P-P SpMM, D-D R-GCN).
     """
+    from tip_tpu.nn.rgcn import rgcn_apply_padded
+
     # P-P net
-    hp = pp_encoder_apply(
-        params["pp"], x_prot, graph["pp_norm_index"], graph["pp_norm_weight"], n_prot
-    )
+    if backend == "pallas":
+        hp = pp_encoder_apply_windowed(params["pp"], x_prot, graph, gs)
+    else:
+        hp = pp_encoder_apply(
+            params["pp"], x_prot, graph["pp_norm_index"], graph["pp_norm_weight"],
+            gs.n_prot,
+        )
     # P->D hand-off (no zero-padding/offset dance — direct bipartite edges).
     hd = hierarchy_conv_apply(
-        params["hier"], hp, graph["dp_src"], graph["dp_dst"], graph["dp_deg"], n_drug
+        params["hier"], hp, graph["dp_src"], graph["dp_dst"], graph["dp_deg"],
+        gs.n_drug,
     )
     # Drug embedding; identity features => the table itself (see module doc).
     xd = params["embed"] if x_drug is None else x_drug @ params["embed"]
@@ -104,14 +125,16 @@ def fm_encoder_apply(
         xd = xd / d_norm[:, None]
     x = jnp.concatenate([xd, hd], axis=1) if cfg.mode == "cat" else xd + hd
     # D-D net
-    x = rgcn_apply(
-        params["rgcn1"], x, graph["dd_src"], graph["dd_dst"], graph["dd_et"],
-        graph["dd_deg"], n_drug, n_et,
+    dd = (
+        graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"],
+        graph["dd_deg"],
+    )
+    x = rgcn_apply_padded(
+        params["rgcn1"], x, *dd, gs.n_drug, gs.n_et, backend=backend
     )
     x = jax.nn.relu(x)
-    return rgcn_apply(
-        params["rgcn2"], x, graph["dd_src"], graph["dd_dst"], graph["dd_et"],
-        graph["dd_deg"], n_drug, n_et,
+    return rgcn_apply_padded(
+        params["rgcn2"], x, *dd, gs.n_drug, gs.n_et, backend=backend
     )
 
 

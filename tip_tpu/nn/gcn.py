@@ -36,3 +36,21 @@ def gcn_conv_apply(params, x, norm_index, norm_weight, n_nodes: int):
     if "bias" in params:
         out = out + params["bias"]
     return out
+
+
+def gcn_conv_apply_windowed(
+    params, x, wsrc2d, wdstl2d, ww2d, chunk_window, n_windows: int,
+    window: int, n_nodes: int,
+):
+    """Pallas windowed-scatter variant over data/packing.py:pad_windowed_edges
+    buffers.  Requires the symmetric cached normalization (see
+    ops/pallas_segment.py:gcn_spmm_padded for the backward-pass argument)."""
+    from tip_tpu.ops.pallas_segment import gcn_spmm_padded
+
+    h = params["weight"] if x is None else x @ params["weight"]
+    out = gcn_spmm_padded(
+        h, wsrc2d, wdstl2d, ww2d, chunk_window, n_windows, window, n_nodes
+    )
+    if "bias" in params:
+        out = out + params["bias"]
+    return out

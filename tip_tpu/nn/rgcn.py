@@ -69,3 +69,38 @@ def rgcn_apply(params, x, src, dst, edge_type, degree, n_nodes: int, n_et: int):
     if "bias" in params:
         out = out + params["bias"]
     return out
+
+
+def rgcn_apply_padded(
+    params, x, src2d, dst2d, chunk_type, degree, n_nodes: int, n_et: int,
+    backend: str = "xla",
+):
+    """Padded chunk-aligned variant (data/packing.py:pad_typed_edges).
+
+    src2d/dst2d: [n_chunks, chunk] with padding dst = n_nodes; chunk_type:
+    [n_chunks] relation per chunk.  backend 'pallas' runs the one-hot MXU
+    scatter kernel; 'xla' uses a stride-(n_nodes+1) sorted segment-sum whose
+    extra column absorbs the padding.
+    """
+    if backend == "pallas":
+        from tip_tpu.ops.pallas_segment import typed_neighbor_sum_padded
+
+        p = typed_neighbor_sum_padded(x, src2d, dst2d, chunk_type, n_et)
+    else:
+        import jax.ops
+
+        chunk = src2d.shape[1]
+        src = src2d.reshape(-1)
+        dst = dst2d.reshape(-1)
+        et = jnp.repeat(chunk_type, chunk)
+        seg = et.astype(jnp.int32) * (n_nodes + 1) + dst
+        flat = jax.ops.segment_sum(
+            x[src], seg, num_segments=n_et * (n_nodes + 1), indices_are_sorted=True
+        )
+        p = flat.reshape(n_et, n_nodes + 1, x.shape[-1])[:, :n_nodes, :]
+    q = jnp.einsum("tb,tnd->bnd", params["att"], p)
+    agg = jnp.einsum("bnd,bde->ne", q, params["basis"])
+    out = mean_from_sum(agg, degree) + x @ params["root"]
+    if "bias" in params:
+        out = out + params["bias"]
+    return out

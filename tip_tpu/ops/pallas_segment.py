@@ -1,0 +1,436 @@
+"""Pallas TPU kernels for the sparse aggregation ops.
+
+TPUs have no fast random scatter; these kernels turn gather+scatter into
+dense one-hot matmuls on the MXU over chunk-aligned edge buffers
+(data/packing.py:pad_typed_edges): edges are processed in chunks of C that
+never straddle a relation bin, destinations are one-hot encoded against the
+node axis, and
+
+    P[t]  +=  onehot(dst_chunk)^T @ ( onehot(src_chunk) @ X )
+
+accumulates each chunk's contribution with two [C, N] x [N, D] matmuls —
+~2*N multiply-accumulates per edge-feature, which beats a serialized
+scatter by orders of magnitude on this hardware.  Output blocks are revisited
+across consecutive chunks of the same relation (the grid is type-ordered),
+staying resident in VMEM and flushing to HBM once per relation.
+
+Padded slots carry ``dst = n_nodes`` — one past the valid node range — so
+their one-hot rows are all-zero and they contribute nothing (no masking
+pass needed).
+
+The custom VJP reuses the same kernel structure with gather/scatter roles
+swapped: dX += onehot(src)^T @ ( onehot(dst) @ dP[t] ), reading the
+cotangent block of the chunk's relation via a scalar-prefetched index map.
+
+This module is the TPU replacement for what the reference obtains from
+torch-scatter's CUDA scatter_mean (reference: src/layers.py:42,123,202 via
+PyG MessagePassing).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+DEFAULT_CHUNK = 512
+
+
+def _onehot(ids, n, dtype):
+    """[C] int32 -> [C, n] one-hot; ids == n (padding) yield zero rows."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], n), 1)
+    return (col == ids[:, None]).astype(dtype)
+
+
+def _onehot_t(ids, n, dtype):
+    """[C] int32 -> [n, C] transposed one-hot (built directly, no transpose)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, ids.shape[0]), 0)
+    return (row == ids[None, :]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward: P[t, d, :] = sum_{e in relation t, dst_e = d} x[src_e]
+# ---------------------------------------------------------------------------
+
+
+def _tns_fwd_kernel(chunk_type_ref, src_ref, dst_ref, x_ref, out_ref):
+    i = pl.program_id(0)
+    t = chunk_type_ref[i]
+    prev_t = chunk_type_ref[jnp.maximum(i - 1, 0)]
+    first_visit = jnp.logical_or(i == 0, prev_t != t)
+
+    n = x_ref.shape[0]
+    src = src_ref[0, :]
+    dst = dst_ref[0, :]
+    dtype = x_ref.dtype
+    gathered = jnp.dot(
+        _onehot(src, n, dtype), x_ref[:], preferred_element_type=jnp.float32
+    )
+    contrib = jnp.dot(
+        _onehot_t(dst, n, dtype), gathered, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(first_visit)
+    def _():
+        out_ref[0] = contrib
+
+    @pl.when(jnp.logical_not(first_visit))
+    def _():
+        out_ref[0] += contrib
+
+
+def _tns_fwd(x, src2d, dst2d, chunk_type, n_et: int):
+    n_chunks, chunk = src2d.shape
+    n, d = x.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x, whole array
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    flops = 2 * 2 * n_chunks * chunk * n * d
+    return pl.pallas_call(
+        _tns_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_et, n, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=n_et * n * d * 4, transcendentals=0
+        ),
+    )(chunk_type, src2d, dst2d, x)
+
+
+# ---------------------------------------------------------------------------
+# Backward (w.r.t. x): dX[s, :] += sum_t sum_{e in t, src_e = s} dP[t, dst_e, :]
+# ---------------------------------------------------------------------------
+
+
+def _tns_bwd_kernel(chunk_type_ref, src_ref, dst_ref, dp_ref, out_ref):
+    i = pl.program_id(0)
+    src = src_ref[0, :]
+    dst = dst_ref[0, :]
+    dtype = dp_ref.dtype
+    c = src.shape[0]
+    n = out_ref.shape[0]
+    # gather cotangent rows of this chunk's relation at dst, scatter to src
+    g = jnp.dot(_onehot(dst, n, dtype), dp_ref[0], preferred_element_type=jnp.float32)
+    contrib = jnp.dot(_onehot_t(src, n, dtype), g, preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(i != 0)
+    def _():
+        out_ref[:] += contrib
+
+
+def _tns_bwd(dp, src2d, dst2d, chunk_type):
+    n_chunks, chunk = src2d.shape
+    n_et, n, d = dp.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, d), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _tns_bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_chunks * chunk * n * d,
+            bytes_accessed=n_et * n * d * 4,
+            transcendentals=0,
+        ),
+    )(chunk_type, src2d, dst2d, dp)
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def typed_neighbor_sum_padded(x, src2d, dst2d, chunk_type, n_et):
+    """Pallas version of ops.segment.typed_neighbor_sum over padded chunks.
+
+    x: [n_nodes, d]; src2d/dst2d: [n_chunks, chunk] int32 (padding rows have
+    dst = n_nodes); chunk_type: [n_chunks] int32 relation per chunk,
+    non-decreasing.  Returns P [n_et, n_nodes, d] float32.
+    """
+    return _tns_fwd(x, src2d, dst2d, chunk_type, n_et)
+
+
+def _tns_vjp_fwd(x, src2d, dst2d, chunk_type, n_et):
+    return _tns_fwd(x, src2d, dst2d, chunk_type, n_et), (src2d, dst2d, chunk_type)
+
+
+def _tns_vjp_bwd(n_et, res, dp):
+    src2d, dst2d, chunk_type = res
+    dx = _tns_bwd(dp.astype(jnp.float32), src2d, dst2d, chunk_type)
+    return dx, None, None, None
+
+
+typed_neighbor_sum_padded.defvjp(_tns_vjp_fwd, _tns_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Windowed scatter-sum SpMM for the P-P GCN
+# ---------------------------------------------------------------------------
+#
+# The protein graph has 19k destinations — too many for one one-hot — so
+# destinations are tiled into windows of W rows (data/packing.py:
+# pad_windowed_edges) and each chunk scatters into its window's [W, D]
+# block:   out[win] += onehot(dst_local)^T @ msgs_chunk.
+# Messages (x[src] * weight) are gathered by XLA outside the kernel.
+
+
+def _wscatter_kernel(chunk_window_ref, dstl_ref, msgs_ref, out_ref):
+    i = pl.program_id(0)
+    w = chunk_window_ref[i]
+    prev_w = chunk_window_ref[jnp.maximum(i - 1, 0)]
+    first_visit = jnp.logical_or(i == 0, prev_w != w)
+    window = out_ref.shape[0]
+    contrib = jnp.dot(
+        _onehot_t(dstl_ref[0, :], window, msgs_ref.dtype),
+        msgs_ref[0],
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(first_visit)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(first_visit))
+    def _():
+        out_ref[:] += contrib
+
+
+def _windowed_scatter(msgs, dstl2d, chunk_window, n_windows: int, window: int):
+    n_chunks, chunk, d = msgs.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda i, cw: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, d), lambda i, cw: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (window, d), lambda i, cw: (cw[i], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _wscatter_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_windows * window, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_chunks * chunk * window * d,
+            bytes_accessed=msgs.size * 4 + n_windows * window * d * 4,
+            transcendentals=0,
+        ),
+    )(chunk_window, dstl2d, msgs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def gcn_spmm_padded(x, src2d, dstl2d, w2d, chunk_window, n_windows, window, n_nodes):
+    """out = A_hat @ x over a windowed, chunk-aligned edge buffer.
+
+    REQUIRES a symmetric normalized adjacency (true for GCN's
+    D^-1/2 (A+I) D^-1/2 on an undirected graph): the backward pass computes
+    dx = A_hat^T @ dout = A_hat @ dout by re-running the same kernel.
+    """
+    msgs = x[src2d] * w2d[..., None]
+    out = _windowed_scatter(msgs, dstl2d, chunk_window, n_windows, window)
+    return out[:n_nodes]
+
+
+def _gcn_spmm_fwd(x, src2d, dstl2d, w2d, chunk_window, n_windows, window, n_nodes):
+    out = gcn_spmm_padded(
+        x, src2d, dstl2d, w2d, chunk_window, n_windows, window, n_nodes
+    )
+    return out, (src2d, dstl2d, w2d, chunk_window)
+
+
+def _gcn_spmm_bwd(n_windows, window, n_nodes, res, dout):
+    src2d, dstl2d, w2d, chunk_window = res
+    dx = gcn_spmm_padded(
+        dout.astype(jnp.float32), src2d, dstl2d, w2d, chunk_window,
+        n_windows, window, n_nodes,
+    )
+    return dx, None, None, None, None
+
+
+gcn_spmm_padded.defvjp(_gcn_spmm_fwd, _gcn_spmm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused DistMult decoder (SDDMM): logits_e = sum_d z[src]z[dst]w[et]
+# ---------------------------------------------------------------------------
+#
+# The decoder feature dim is small (16), so gathers run in TRANSPOSED layout:
+#   zsT [D, C] = zT [D, N] @ onehot(src)^T [N, C]
+# putting the chunk axis on the 128-wide lanes and D on sublanes — full MXU
+# utilization where the [C, N] x [N, D] orientation would use D/128 of the
+# lanes.  Forward emits logits; backward scatters dz (accumulated across all
+# chunks) and dw (accumulated per relation block) with the same matmuls
+# reversed.  Replaces the reference decoder's gather-mul-reduce plus its
+# autograd scatter (reference: src/layers.py:590-592).
+
+
+def _distmult_fwd_kernel(chunk_type_ref, src_ref, dst_ref, zt_ref, w_ref, out_ref):
+    dtype = zt_ref.dtype
+    n = zt_ref.shape[1]
+    c = src_ref.shape[1]
+    oh_src_t = _onehot_t(src_ref[0, :], n, dtype)  # [N, C]
+    oh_dst_t = _onehot_t(dst_ref[0, :], n, dtype)
+    zs = jnp.dot(zt_ref[:], oh_src_t, preferred_element_type=jnp.float32)  # [D, C]
+    zd = jnp.dot(zt_ref[:], oh_dst_t, preferred_element_type=jnp.float32)
+    prod = zs * zd * w_ref[0][:, None]  # [D, C]
+    out_ref[0, :] = jnp.sum(prod, axis=0)
+
+
+def _distmult_fwd(zt, w, src2d, dst2d, chunk_type):
+    n_chunks, chunk = src2d.shape
+    d, n = zt.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # zt whole
+            pl.BlockSpec((1, d), lambda i, ct: (ct[i], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _distmult_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_chunks * chunk * n * d,
+            bytes_accessed=n_chunks * chunk * 12,
+            transcendentals=0,
+        ),
+    )(chunk_type, src2d, dst2d, zt, w)
+
+
+def _distmult_bwd_kernel(
+    chunk_type_ref, src_ref, dst_ref, g_ref, zt_ref, w_ref, dzt_ref, dw_ref
+):
+    i = pl.program_id(0)
+    t = chunk_type_ref[i]
+    prev_t = chunk_type_ref[jnp.maximum(i - 1, 0)]
+    first_visit = jnp.logical_or(i == 0, prev_t != t)
+    dtype = zt_ref.dtype
+    n = zt_ref.shape[1]
+    src = src_ref[0, :]
+    dst = dst_ref[0, :]
+    oh_src_t = _onehot_t(src, n, dtype)  # [N, C]
+    oh_dst_t = _onehot_t(dst, n, dtype)
+    zs = jnp.dot(zt_ref[:], oh_src_t, preferred_element_type=jnp.float32)  # [D, C]
+    zd = jnp.dot(zt_ref[:], oh_dst_t, preferred_element_type=jnp.float32)
+    g = g_ref[0][None, :]  # [1, C]
+    wcol = w_ref[0][:, None]  # [D, 1]
+
+    # dz scatters: dz[src] += g * zd * w[t]; dz[dst] += g * zs * w[t]
+    # (one-hots built directly in each orientation — no in-kernel transpose)
+    oh_src = _onehot(src, n, dtype)  # [C, N]
+    oh_dst = _onehot(dst, n, dtype)
+    a = zd * wcol * g  # [D, C]
+    b = zs * wcol * g
+    contrib = jnp.dot(a, oh_src, preferred_element_type=jnp.float32) + jnp.dot(
+        b, oh_dst, preferred_element_type=jnp.float32
+    )  # [D, N]
+
+    @pl.when(i == 0)
+    def _():
+        dzt_ref[:] = contrib
+
+    @pl.when(i != 0)
+    def _():
+        dzt_ref[:] += contrib
+
+    # dw[t] += sum_e g * zs * zd
+    dw_contrib = jnp.sum(zs * zd * g, axis=1)  # [D]
+
+    @pl.when(first_visit)
+    def _():
+        dw_ref[0, :] = dw_contrib
+
+    @pl.when(jnp.logical_not(first_visit))
+    def _():
+        dw_ref[0, :] += dw_contrib
+
+
+def _distmult_bwd(zt, w, src2d, dst2d, chunk_type, g2d):
+    n_chunks, chunk = src2d.shape
+    d, n = zt.shape
+    n_et = w.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # zt
+            pl.BlockSpec((1, d), lambda i, ct: (ct[i], 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((d, n), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, ct: (ct[i], 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        _distmult_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((d, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_et, d), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * n_chunks * chunk * n * d,
+            bytes_accessed=n_chunks * chunk * 16,
+            transcendentals=0,
+        ),
+    )(chunk_type, src2d, dst2d, g2d, zt, w)
+
+
+@jax.custom_vjp
+def distmult_logits_padded(z, w, src2d, dst2d, chunk_type):
+    """logits [n_chunks, chunk] for padded typed edges (padding rows give 0).
+
+    z: [n_nodes, d]; w: [n_et, d] per-relation diagonal.
+    """
+    return _distmult_fwd(z.T, w, src2d, dst2d, chunk_type)
+
+
+def _distmult_vjp_fwd(z, w, src2d, dst2d, chunk_type):
+    zt = z.T
+    return _distmult_fwd(zt, w, src2d, dst2d, chunk_type), (
+        zt, w, src2d, dst2d, chunk_type,
+    )
+
+
+def _distmult_vjp_bwd(res, g2d):
+    zt, w, src2d, dst2d, chunk_type = res
+    dzt, dw = _distmult_bwd(zt, w, src2d, dst2d, chunk_type, g2d.astype(jnp.float32))
+    return dzt.T, dw, None, None, None
+
+
+distmult_logits_padded.defvjp(_distmult_vjp_fwd, _distmult_vjp_bwd)

@@ -8,14 +8,15 @@ line 8).  This version runs entirely on device under jit:
 
   * one uniform draw per positive edge over [0, n_nodes)^2 for the edge's
     relation (self-pairs allowed, matching the reference);
-  * collision test against the SAME relation's positives via
-    ``searchsorted`` on the globally sorted (relation, src, dst) key array
-    (data/packing.py:encode_keys) — the bidirected positive set makes the
-    key set symmetric, so direction does not matter;
+  * collision test against the SAME relation's positives, either via a
+    **packed bitmap** over the (relation, dst, src) key space — one random
+    word-gather per candidate, O(1), the fast path (57 MB for Decagon's
+    1,097 x 645 x 645 key space) — or via ``searchsorted`` on the sorted key
+    array for key spaces too large to enumerate;
   * a FIXED number of masked resampling rounds instead of the reference's
     unbounded host loop; leftovers after the last round are accepted
-    (probability per edge is (density)^rounds — for Decagon's densest
-    relation that is < 4e-6 at rounds=4).
+    (probability per edge is density^rounds — for Decagon's densest
+    relation < 4e-6 at rounds=4).
 
 Returns (neg_src, neg_dst) aligned with the input edge buffer, so the
 type-binned range structure of the positives carries over to the negatives
@@ -25,35 +26,56 @@ reference: src/neg_sampling.py:22-26).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def build_key_bitmap(keys: np.ndarray, key_space: int) -> np.ndarray:
+    """Pack positive-edge keys into a uint32 bitmap of ceil(space/32) words."""
+    n_words = (key_space + 31) // 32
+    bitmap = np.zeros(n_words, np.uint32)
+    words = (keys >> 5).astype(np.int64)
+    bits = (keys & 31).astype(np.uint32)
+    np.bitwise_or.at(bitmap, words, np.uint32(1) << bits)
+    return bitmap
+
+
+def _collides_bitmap(cand, bitmap):
+    word = bitmap[cand >> 5]
+    return (word >> (cand & 31).astype(jnp.uint32)) & 1 != 0
+
+
+def _collides_sorted(cand, keys_sorted):
+    pos = jnp.searchsorted(keys_sorted, cand, method="sort")
+    pos = jnp.clip(pos, 0, keys_sorted.shape[0] - 1)
+    return keys_sorted[pos] == cand
 
 
 def typed_negative_sampling(
     key,
     edge_type,
-    pos_keys_sorted,
+    positives,
     n_nodes: int,
     rounds: int = 4,
 ):
     """Sample one negative pair per positive edge, per relation.
 
     edge_type: [E] int32 relation id per positive edge.
-    pos_keys_sorted: [E] ascending int keys (t*n + dst)*n + src of positives
-        (data/packing.py:encode_keys — the (type, dst, src) sort order).
+    positives: either a uint32 bitmap from :func:`build_key_bitmap` (fast
+        path) or a sorted int key array (t*n + dst)*n + src
+        (data/packing.py:encode_keys).
     """
     e = edge_type.shape[0]
-    base = edge_type.astype(pos_keys_sorted.dtype) * (n_nodes * n_nodes)
+    base = edge_type.astype(jnp.int32) * (n_nodes * n_nodes)
+    is_bitmap = positives.dtype == jnp.uint32
 
     def draw(k):
         pair = jax.random.randint(k, (e,), 0, n_nodes * n_nodes, dtype=jnp.int32)
-        cand = base + pair.astype(pos_keys_sorted.dtype)
-        pos = jnp.searchsorted(pos_keys_sorted, cand)
-        pos = jnp.clip(pos, 0, pos_keys_sorted.shape[0] - 1)
-        collides = pos_keys_sorted[pos] == cand
-        return pair, collides
+        cand = base + pair
+        if is_bitmap:
+            return pair, _collides_bitmap(cand, positives)
+        return pair, _collides_sorted(cand, positives)
 
     keys = jax.random.split(key, rounds)
     pair, collides = draw(keys[0])

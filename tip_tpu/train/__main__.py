@@ -18,6 +18,10 @@ def main() -> None:
     parser.add_argument("--data-dir", default=None, help="reference data dir")
     parser.add_argument("--synthetic", action="store_true", help="tiny random graph")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--backend", choices=["auto", "xla", "pallas"], default="auto",
+        help="sparse-ops backend (auto: pallas on TPU, xla elsewhere)",
+    )
     parser.add_argument("--profile-dir", default=None)
     parser.add_argument("--out", default=None, help="write final metrics JSON here")
     args = parser.parse_args()
@@ -36,7 +40,9 @@ def main() -> None:
     else:
         raw = load_decagon_raw(**({"data_dir": args.data_dir} if args.data_dir else {}))
     data = build_trigraph(raw, split_rate=tcfg.split_rate, seed=tcfg.seed)
-    _, result = train(cfg, tcfg, data, profile_dir=args.profile_dir)
+    _, result = train(
+        cfg, tcfg, data, profile_dir=args.profile_dir, backend=args.backend
+    )
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"final": result["final"], "history": result["history"]}, f)

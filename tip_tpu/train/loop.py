@@ -71,10 +71,11 @@ def train(
     data: TriGraphData,
     log: Callable[[str], None] = print,
     profile_dir: Optional[str] = None,
+    backend: str = "auto",
 ):
     """Train TIP on a packed tri-graph; returns (state, final_metrics)."""
-    model = TIP.for_data(cfg, data)
-    graph = make_graph_arrays(data)
+    graph, gs = make_graph_arrays(data)
+    model = TIP.for_data(cfg, data, gs, backend=backend)
     test = make_test_arrays(data)
 
     key = jax.random.key(tcfg.seed)

@@ -5,8 +5,12 @@ Equivalent of the reference's ``TIP`` training framework class
 pure functions: parameters are a pytree, the graph is a pytree of device
 arrays, every method is jit-compatible.  Differences by design:
 
-  * negative sampling happens ON DEVICE inside the jitted step
-    (reference round-trips to numpy each step, src/neg_sampling.py:8);
+  * all D-D edge buffers are chunk-aligned padded (static shapes; the loss
+    masks padding), so the same layout feeds both the XLA segment path and
+    the Pallas one-hot MXU kernels — selected by ``backend``;
+  * negative sampling happens ON DEVICE inside the jitted step via a packed
+    membership bitmap (reference round-trips to numpy each step,
+    src/neg_sampling.py:8);
   * evaluation metrics are computed on device for all relations at once
     (reference: 1,097 sklearn calls, src/layers.py:355-375);
   * the fixed test negatives are sampled once from a dedicated PRNG key
@@ -16,14 +20,16 @@ arrays, every method is jit-compatible.  Differences by design:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tip_tpu.config import ModelConfig
-from tip_tpu.data.packing import TriGraphData
+from tip_tpu.data.packing import (
+    TriGraphData,
+    pad_typed_edges,
+    pad_windowed_edges,
+)
 from tip_tpu.metrics import grouped_ranking_metrics, macro_average
 from tip_tpu.nn import (
     distmult_apply,
@@ -33,26 +39,78 @@ from tip_tpu.nn import (
     nn_decoder_apply,
     nn_decoder_init,
 )
+from tip_tpu.nn.decoders import distmult_apply_padded, nn_decoder_apply_padded
 from tip_tpu.sampling import typed_negative_sampling
 
 EPS = 1e-13  # loss epsilon (reference: src/layers.py:15)
 
 
-def make_graph_arrays(data: TriGraphData) -> dict:
-    """Device pytree of the training graph (passed as a jit argument, not
-    closed over, so the big edge buffers never bake into the executable)."""
-    return {
+@dataclass(frozen=True)
+class GraphStatic:
+    """Hashable static metadata of a packed tri-graph (jit-safe)."""
+
+    n_drug: int
+    n_prot: int
+    n_et: int
+    dd_chunk: int
+    dd_n_chunks: int
+    dd_n_valid: int
+    pp_window: int
+    pp_n_windows: int
+
+
+def make_graph_arrays(
+    data: TriGraphData,
+    dd_chunk: int = 512,
+    pp_window: int = 1024,
+    pp_chunk: int = 512,
+):
+    """Pack the training graph into a device pytree + static metadata.
+
+    The D-D multigraph is chunk-aligned per relation
+    (data/packing.py:pad_typed_edges); the P-P graph is additionally
+    windowed by destination for the Pallas SpMM.  Both the XLA and Pallas
+    backends consume this one layout.
+    """
+    padded = pad_typed_edges(data.dd_train, data.n_drug, chunk=dd_chunk)
+    n_chunks = padded.chunk_type.shape[0]
+    wpp = pad_windowed_edges(
+        data.pp_norm_index, data.pp_norm_weight, data.n_prot,
+        window=pp_window, chunk=pp_chunk,
+    )
+    npp_chunks = wpp.chunk_window.shape[0]
+    graph = {
+        # D-D (chunk-aligned, relation-binned, dst-sorted)
+        "dd_src2d": jnp.asarray(padded.src.reshape(n_chunks, dd_chunk)),
+        "dd_dst2d": jnp.asarray(padded.dst.reshape(n_chunks, dd_chunk)),
+        "dd_valid": jnp.asarray(padded.valid.astype("float32")),
+        "dd_chunk_type": jnp.asarray(padded.chunk_type),
+        "dd_deg": jnp.asarray(data.dd_train_deg),
+        "dd_bitmap": jnp.asarray(data.dd_train_bitmap),
+        # P-P, XLA COO path
         "pp_norm_index": jnp.asarray(data.pp_norm_index),
         "pp_norm_weight": jnp.asarray(data.pp_norm_weight),
+        # P-P, Pallas windowed path
+        "ppw_src": jnp.asarray(wpp.src.reshape(npp_chunks, pp_chunk)),
+        "ppw_dstl": jnp.asarray(wpp.dst_local.reshape(npp_chunks, pp_chunk)),
+        "ppw_w": jnp.asarray(wpp.weight.reshape(npp_chunks, pp_chunk)),
+        "ppw_chunk_window": jnp.asarray(wpp.chunk_window),
+        # P->D
         "dp_src": jnp.asarray(data.dp_edge_index[0]),
         "dp_dst": jnp.asarray(data.dp_edge_index[1]),
         "dp_deg": jnp.asarray(data.dp_drug_deg),
-        "dd_src": jnp.asarray(data.dd_train.edge_index[0]),
-        "dd_dst": jnp.asarray(data.dd_train.edge_index[1]),
-        "dd_et": jnp.asarray(data.dd_train.edge_type),
-        "dd_deg": jnp.asarray(data.dd_train_deg),
-        "dd_train_keys": jnp.asarray(data.dd_train_keys, jnp.int32),
     }
+    gs = GraphStatic(
+        n_drug=data.n_drug,
+        n_prot=data.n_prot,
+        n_et=data.n_et,
+        dd_chunk=dd_chunk,
+        dd_n_chunks=n_chunks,
+        dd_n_valid=padded.n_valid,
+        pp_window=pp_window,
+        pp_n_windows=wpp.n_windows,
+    )
+    return graph, gs
 
 
 def make_test_arrays(data: TriGraphData) -> dict:
@@ -60,8 +118,14 @@ def make_test_arrays(data: TriGraphData) -> dict:
         "src": jnp.asarray(data.dd_test.edge_index[0]),
         "dst": jnp.asarray(data.dd_test.edge_index[1]),
         "et": jnp.asarray(data.dd_test.edge_type),
-        "keys": jnp.asarray(data.dd_test_keys, jnp.int32),
+        "bitmap": jnp.asarray(data.dd_test_bitmap),
     }
+
+
+def resolve_backend(requested: str = "auto") -> str:
+    if requested != "auto":
+        return requested
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 @dataclass(frozen=True)
@@ -69,17 +133,26 @@ class TIP:
     """Static model description; all state lives in explicit pytrees."""
 
     cfg: ModelConfig
-    n_drug: int
-    n_prot: int
-    n_et: int
+    gs: GraphStatic
+    backend: str = "xla"
 
     @staticmethod
-    def for_data(cfg: ModelConfig, data: TriGraphData) -> "TIP":
+    def for_data(
+        cfg: ModelConfig, data: TriGraphData, gs: GraphStatic, backend: str = "auto"
+    ) -> "TIP":
         if data.n_et * data.n_drug * data.n_drug >= 2**31:
             raise ValueError(
                 "relation*node^2 key space exceeds int32; enable x64 keys"
             )
-        return TIP(cfg=cfg, n_drug=data.n_drug, n_prot=data.n_prot, n_et=data.n_et)
+        return TIP(cfg=cfg, gs=gs, backend=resolve_backend(backend))
+
+    @property
+    def n_drug(self) -> int:
+        return self.gs.n_drug
+
+    @property
+    def n_et(self) -> int:
+        return self.gs.n_et
 
     # -- parameters ---------------------------------------------------------
 
@@ -87,14 +160,14 @@ class TIP:
         k_enc, k_dec = jax.random.split(key)
         params = {
             "encoder": fm_encoder_init(
-                k_enc, self.cfg, self.n_drug, self.n_prot, self.n_et
+                k_enc, self.cfg, self.gs.n_drug, self.gs.n_prot, self.gs.n_et
             )
         }
         if self.cfg.decoder == "distmult":
-            params["decoder"] = distmult_init(k_dec, self.cfg.n_hid2, self.n_et)
+            params["decoder"] = distmult_init(k_dec, self.cfg.n_hid2, self.gs.n_et)
         else:
             params["decoder"] = nn_decoder_init(
-                k_dec, self.cfg.n_hid2, self.n_et, self.cfg.nn_decoder_l1_dim
+                k_dec, self.cfg.n_hid2, self.gs.n_et, self.cfg.nn_decoder_l1_dim
             )
         return params
 
@@ -103,35 +176,56 @@ class TIP:
     def encode(self, params, graph, remat: bool = False):
         """Drug embeddings z [n_drug, n_hid2] from the training graph."""
         enc = lambda p: fm_encoder_apply(
-            p, graph, self.cfg, self.n_drug, self.n_prot, self.n_et
+            p, graph, self.cfg, self.gs, backend=self.backend
         )
         if remat:
             enc = jax.checkpoint(enc)
         return enc(params["encoder"])
 
     def score(self, params, z, src, dst, et, sigmoid: bool = True):
+        """Score arbitrary (src, dst, relation) triples (flat layout)."""
         if self.cfg.decoder == "distmult":
             return distmult_apply(params["decoder"], z, src, dst, et, sigmoid)
         return nn_decoder_apply(params["decoder"], z, src, dst, et, sigmoid)
 
+    def score_padded(self, params, z, src2d, dst2d, chunk_type, sigmoid=True):
+        if self.cfg.decoder == "distmult":
+            return distmult_apply_padded(
+                params["decoder"], z, src2d, dst2d, chunk_type, sigmoid,
+                backend=self.backend,
+            )
+        return nn_decoder_apply_padded(
+            params["decoder"], z, src2d, dst2d, chunk_type, sigmoid
+        )
+
     def loss(self, params, graph, key, remat: bool = False):
         """Full-graph BCE with one fresh negative per positive
-        (reference: src/layers.py:328-342)."""
+        (reference: src/layers.py:328-342); padding masked out."""
+        gs = self.gs
         z = self.encode(params, graph, remat=remat)
+        et_flat = jnp.repeat(graph["dd_chunk_type"], gs.dd_chunk)
         neg_src, neg_dst = typed_negative_sampling(
-            key, graph["dd_et"], graph["dd_train_keys"], self.n_drug
+            key, et_flat, graph["dd_bitmap"], gs.n_drug
         )
-        pos = self.score(params, z, graph["dd_src"], graph["dd_dst"], graph["dd_et"])
-        neg = self.score(params, z, neg_src, neg_dst, graph["dd_et"])
-        pos_loss = -jnp.log(pos + EPS).mean()
-        neg_loss = -jnp.log(1.0 - neg + EPS).mean()
+        shape2d = (gs.dd_n_chunks, gs.dd_chunk)
+        pos = self.score_padded(
+            params, z, graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"]
+        )
+        neg = self.score_padded(
+            params, z, neg_src.reshape(shape2d), neg_dst.reshape(shape2d),
+            graph["dd_chunk_type"],
+        )
+        valid = graph["dd_valid"]
+        n_valid = float(gs.dd_n_valid)
+        pos_loss = -jnp.sum(jnp.log(pos + EPS) * valid) / n_valid
+        neg_loss = -jnp.sum(jnp.log(1.0 - neg + EPS) * valid) / n_valid
         return pos_loss + neg_loss
 
     # -- evaluation ---------------------------------------------------------
 
     def sample_test_negatives(self, key, test):
         neg_src, neg_dst = typed_negative_sampling(
-            key, test["et"], test["keys"], self.n_drug
+            key, test["et"], test["bitmap"], self.gs.n_drug
         )
         return {"src": neg_src, "dst": neg_dst}
 
@@ -143,5 +237,5 @@ class TIP:
         z = self.encode(params, graph)
         pos = self.score(params, z, test["src"], test["dst"], test["et"])
         neg = self.score(params, z, test_neg["src"], test_neg["dst"], test["et"])
-        per_rel = grouped_ranking_metrics(pos, neg, test["et"], self.n_et)
+        per_rel = grouped_ranking_metrics(pos, neg, test["et"], self.gs.n_et)
         return per_rel, macro_average(per_rel)
