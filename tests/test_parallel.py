@@ -1,0 +1,100 @@
+"""Multi-chip sharded step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tip_tpu.config import ModelConfig
+from tip_tpu.data import synthetic_trigraph, build_trigraph
+from tip_tpu.parallel import make_mesh, shard_graph, make_sharded_train_step
+from tip_tpu.parallel.sharded import place_graph
+from tip_tpu.train.model import TIP, make_graph_arrays
+
+
+@pytest.fixture(scope="module")
+def setup():
+    raw = synthetic_trigraph(n_drug=40, n_prot=70, n_et=5, pairs_per_et=60, seed=8)
+    data = build_trigraph(raw, split_rate=0.9, seed=8)
+    graph, gs = make_graph_arrays(data, dd_chunk=16, pp_window=64, pp_chunk=32)
+    cfg = ModelConfig(
+        mode="cat", prot_drug_dim=6, n_embed=10, n_hid1=8, n_hid2=6,
+        num_base=4, pp_hid1=8, pp_hid2=6,
+    )
+    model = TIP.for_data(cfg, data, gs, backend="xla")
+    return data, graph, gs, model
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_loss_matches_single_device(setup):
+    data, graph, gs, model = setup
+    mesh = make_mesh(8)
+    sgraph, _ = shard_graph(graph, gs, 8)
+    sgraph = place_graph(sgraph, mesh)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+    step = make_sharded_train_step(model, opt, mesh)
+    k = jax.random.key(1)
+    p1, _, loss_sharded = step(params, opt_state, sgraph, k)
+
+    # single-device reference: same model, unsharded graph.
+    # negative sampling keys differ (per-device fold_in), so compare the loss
+    # statistically and the positive-edge part exactly via a fixed-negative
+    # re-evaluation below.
+    loss_single = model.loss(params, graph, k)
+    assert np.isfinite(float(loss_sharded))
+    assert abs(float(loss_sharded) - float(loss_single)) < 0.05
+
+    # encoder path must be numerically identical (psum of partial bins)
+    z_single = model.encode(params, graph)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from tip_tpu.parallel.sharded import graph_specs
+    from tip_tpu.parallel.mesh import EDGE_AXIS
+
+    z_sharded = jax.jit(
+        shard_map(
+            lambda p, g: model.encode(p, g, axis_name=EDGE_AXIS),
+            mesh=mesh,
+            in_specs=(P(), graph_specs(sgraph)),
+            out_specs=P(),
+            check_rep=False,
+        )
+    )(params, sgraph)
+    np.testing.assert_allclose(
+        np.asarray(z_sharded), np.asarray(z_single), atol=1e-5
+    )
+
+
+def test_sharded_training_decreases_loss(setup):
+    data, graph, gs, model = setup
+    mesh = make_mesh(8)
+    sgraph, _ = shard_graph(graph, gs, 8)
+    sgraph = place_graph(sgraph, mesh)
+    params = model.init(jax.random.key(2))
+    opt = optax.adam(0.05)
+    opt_state = opt.init(params)
+    step = make_sharded_train_step(model, opt, mesh)
+    losses = []
+    key = jax.random.key(3)
+    for i in range(15):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sgraph, k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8
+
+
+def test_shard_graph_padding_is_inert(setup):
+    data, graph, gs, model = setup
+    sgraph, n_padded = shard_graph(graph, gs, 8)
+    assert n_padded % 8 == 0
+    n_orig = graph["dd_chunk_type"].shape[0]
+    assert np.all(np.asarray(sgraph["dd_dst2d"][n_orig:]) == gs.n_drug)
+    assert float(jnp.sum(sgraph["dd_valid"])) == float(jnp.sum(graph["dd_valid"]))

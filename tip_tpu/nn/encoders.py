@@ -92,6 +92,7 @@ def fm_encoder_apply(
     cfg: ModelConfig,
     gs,
     backend: str = "xla",
+    axis_name=None,
     x_drug=None,
     x_prot=None,
     d_norm=None,
@@ -130,11 +131,13 @@ def fm_encoder_apply(
         graph["dd_deg"],
     )
     x = rgcn_apply_padded(
-        params["rgcn1"], x, *dd, gs.n_drug, gs.n_et, backend=backend
+        params["rgcn1"], x, *dd, gs.n_drug, gs.n_et, backend=backend,
+        axis_name=axis_name,
     )
     x = jax.nn.relu(x)
     return rgcn_apply_padded(
-        params["rgcn2"], x, *dd, gs.n_drug, gs.n_et, backend=backend
+        params["rgcn2"], x, *dd, gs.n_drug, gs.n_et, backend=backend,
+        axis_name=axis_name,
     )
 
 

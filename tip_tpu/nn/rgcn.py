@@ -73,7 +73,7 @@ def rgcn_apply(params, x, src, dst, edge_type, degree, n_nodes: int, n_et: int):
 
 def rgcn_apply_padded(
     params, x, src2d, dst2d, chunk_type, degree, n_nodes: int, n_et: int,
-    backend: str = "xla",
+    backend: str = "xla", axis_name=None,
 ):
     """Padded chunk-aligned variant (data/packing.py:pad_typed_edges).
 
@@ -81,6 +81,12 @@ def rgcn_apply_padded(
     [n_chunks] relation per chunk.  backend 'pallas' runs the one-hot MXU
     scatter kernel; 'xla' uses a stride-(n_nodes+1) sorted segment-sum whose
     extra column absorbs the padding.
+
+    ``axis_name``: when running under shard_map with the CHUNK axis sharded
+    across devices, each device bins only its local edges; the basis-mixed
+    [num_base, n_nodes, d_in] intermediate — not the much larger per-relation
+    binning — is summed over devices with ONE psum (edge contributions are
+    linear, so any chunk partition is valid).
     """
     if backend == "pallas":
         from tip_tpu.ops.pallas_segment import typed_neighbor_sum_padded
@@ -99,6 +105,8 @@ def rgcn_apply_padded(
         )
         p = flat.reshape(n_et, n_nodes + 1, x.shape[-1])[:, :n_nodes, :]
     q = jnp.einsum("tb,tnd->bnd", params["att"], p)
+    if axis_name is not None:
+        q = jax.lax.psum(q, axis_name)
     agg = jnp.einsum("bnd,bde->ne", q, params["basis"])
     out = mean_from_sum(agg, degree) + x @ params["root"]
     if "bias" in params:

@@ -64,8 +64,8 @@ def _tns_fwd_kernel(chunk_type_ref, src_ref, dst_ref, x_ref, out_ref):
     first_visit = jnp.logical_or(i == 0, prev_t != t)
 
     n = x_ref.shape[0]
-    src = src_ref[0, :]
-    dst = dst_ref[0, :]
+    src = src_ref[0, 0, :]
+    dst = dst_ref[0, 0, :]
     dtype = x_ref.dtype
     gathered = jnp.dot(
         _onehot(src, n, dtype), x_ref[:], preferred_element_type=jnp.float32
@@ -86,12 +86,17 @@ def _tns_fwd_kernel(chunk_type_ref, src_ref, dst_ref, x_ref, out_ref):
 def _tns_fwd(x, src2d, dst2d, chunk_type, n_et: int):
     n_chunks, chunk = src2d.shape
     n, d = x.shape
+    # Mosaic block rule: last two dims divisible by (8, 128) or equal to the
+    # array dims — per-chunk rows are lifted to [n_chunks, 1, chunk] so the
+    # (1, 1, chunk) block matches the trailing array dims exactly.
+    src3d = src2d.reshape(n_chunks, 1, chunk)
+    dst3d = dst2d.reshape(n_chunks, 1, chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x, whole array
         ],
         out_specs=pl.BlockSpec(
@@ -106,7 +111,7 @@ def _tns_fwd(x, src2d, dst2d, chunk_type, n_et: int):
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=n_et * n * d * 4, transcendentals=0
         ),
-    )(chunk_type, src2d, dst2d, x)
+    )(chunk_type, src3d, dst3d, x)
 
 
 # ---------------------------------------------------------------------------
@@ -116,8 +121,8 @@ def _tns_fwd(x, src2d, dst2d, chunk_type, n_et: int):
 
 def _tns_bwd_kernel(chunk_type_ref, src_ref, dst_ref, dp_ref, out_ref):
     i = pl.program_id(0)
-    src = src_ref[0, :]
-    dst = dst_ref[0, :]
+    src = src_ref[0, 0, :]
+    dst = dst_ref[0, 0, :]
     dtype = dp_ref.dtype
     c = src.shape[0]
     n = out_ref.shape[0]
@@ -137,12 +142,14 @@ def _tns_bwd_kernel(chunk_type_ref, src_ref, dst_ref, dp_ref, out_ref):
 def _tns_bwd(dp, src2d, dst2d, chunk_type):
     n_chunks, chunk = src2d.shape
     n_et, n, d = dp.shape
+    src3d = src2d.reshape(n_chunks, 1, chunk)
+    dst3d = dst2d.reshape(n_chunks, 1, chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n, d), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
@@ -156,7 +163,7 @@ def _tns_bwd(dp, src2d, dst2d, chunk_type):
             bytes_accessed=n_et * n * d * 4,
             transcendentals=0,
         ),
-    )(chunk_type, src2d, dst2d, dp)
+    )(chunk_type, src3d, dst3d, dp)
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +213,7 @@ def _wscatter_kernel(chunk_window_ref, dstl_ref, msgs_ref, out_ref):
     first_visit = jnp.logical_or(i == 0, prev_w != w)
     window = out_ref.shape[0]
     contrib = jnp.dot(
-        _onehot_t(dstl_ref[0, :], window, msgs_ref.dtype),
+        _onehot_t(dstl_ref[0, 0, :], window, msgs_ref.dtype),
         msgs_ref[0],
         preferred_element_type=jnp.float32,
     )
@@ -222,11 +229,12 @@ def _wscatter_kernel(chunk_window_ref, dstl_ref, msgs_ref, out_ref):
 
 def _windowed_scatter(msgs, dstl2d, chunk_window, n_windows: int, window: int):
     n_chunks, chunk, d = msgs.shape
+    dstl3d = dstl2d.reshape(n_chunks, 1, chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda i, cw: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, cw: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, d), lambda i, cw: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -242,7 +250,7 @@ def _windowed_scatter(msgs, dstl2d, chunk_window, n_windows: int, window: int):
             bytes_accessed=msgs.size * 4 + n_windows * window * d * 4,
             transcendentals=0,
         ),
-    )(chunk_window, dstl2d, msgs)
+    )(chunk_window, dstl3d, msgs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -294,39 +302,44 @@ gcn_spmm_padded.defvjp(_gcn_spmm_fwd, _gcn_spmm_bwd)
 def _distmult_fwd_kernel(chunk_type_ref, src_ref, dst_ref, zt_ref, w_ref, out_ref):
     dtype = zt_ref.dtype
     n = zt_ref.shape[1]
-    c = src_ref.shape[1]
-    oh_src_t = _onehot_t(src_ref[0, :], n, dtype)  # [N, C]
-    oh_dst_t = _onehot_t(dst_ref[0, :], n, dtype)
+    oh_src_t = _onehot_t(src_ref[0, 0, :], n, dtype)  # [N, C]
+    oh_dst_t = _onehot_t(dst_ref[0, 0, :], n, dtype)
     zs = jnp.dot(zt_ref[:], oh_src_t, preferred_element_type=jnp.float32)  # [D, C]
     zd = jnp.dot(zt_ref[:], oh_dst_t, preferred_element_type=jnp.float32)
-    prod = zs * zd * w_ref[0][:, None]  # [D, C]
-    out_ref[0, :] = jnp.sum(prod, axis=0)
+    prod = zs * zd * w_ref[0, 0][:, None]  # [D, C]
+    out_ref[0, 0, :] = jnp.sum(prod, axis=0)
 
 
 def _distmult_fwd(zt, w, src2d, dst2d, chunk_type):
     n_chunks, chunk = src2d.shape
     d, n = zt.shape
+    src3d = src2d.reshape(n_chunks, 1, chunk)
+    dst3d = dst2d.reshape(n_chunks, 1, chunk)
+    w3d = w.reshape(w.shape[0], 1, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # zt whole
-            pl.BlockSpec((1, d), lambda i, ct: (ct[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
     )
-    return pl.pallas_call(
+    out3d = pl.pallas_call(
         _distmult_fwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_chunks, chunk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 1, chunk), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n_chunks * chunk * n * d,
             bytes_accessed=n_chunks * chunk * 12,
             transcendentals=0,
         ),
-    )(chunk_type, src2d, dst2d, zt, w)
+    )(chunk_type, src3d, dst3d, zt, w3d)
+    return out3d.reshape(n_chunks, chunk)
 
 
 def _distmult_bwd_kernel(
@@ -338,14 +351,14 @@ def _distmult_bwd_kernel(
     first_visit = jnp.logical_or(i == 0, prev_t != t)
     dtype = zt_ref.dtype
     n = zt_ref.shape[1]
-    src = src_ref[0, :]
-    dst = dst_ref[0, :]
+    src = src_ref[0, 0, :]
+    dst = dst_ref[0, 0, :]
     oh_src_t = _onehot_t(src, n, dtype)  # [N, C]
     oh_dst_t = _onehot_t(dst, n, dtype)
     zs = jnp.dot(zt_ref[:], oh_src_t, preferred_element_type=jnp.float32)  # [D, C]
     zd = jnp.dot(zt_ref[:], oh_dst_t, preferred_element_type=jnp.float32)
-    g = g_ref[0][None, :]  # [1, C]
-    wcol = w_ref[0][:, None]  # [D, 1]
+    g = g_ref[0, 0][None, :]  # [1, C]
+    wcol = w_ref[0, 0][:, None]  # [D, 1]
 
     # dz scatters: dz[src] += g * zd * w[t]; dz[dst] += g * zs * w[t]
     # (one-hots built directly in each orientation — no in-kernel transpose)
@@ -370,37 +383,41 @@ def _distmult_bwd_kernel(
 
     @pl.when(first_visit)
     def _():
-        dw_ref[0, :] = dw_contrib
+        dw_ref[0, 0, :] = dw_contrib
 
     @pl.when(jnp.logical_not(first_visit))
     def _():
-        dw_ref[0, :] += dw_contrib
+        dw_ref[0, 0, :] += dw_contrib
 
 
 def _distmult_bwd(zt, w, src2d, dst2d, chunk_type, g2d):
     n_chunks, chunk = src2d.shape
     d, n = zt.shape
     n_et = w.shape[0]
+    src3d = src2d.reshape(n_chunks, 1, chunk)
+    dst3d = dst2d.reshape(n_chunks, 1, chunk)
+    g3d = g2d.reshape(n_chunks, 1, chunk)
+    w3d = w.reshape(n_et, 1, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i, ct: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # zt
-            pl.BlockSpec((1, d), lambda i, ct: (ct[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((d, n), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, ct: (ct[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
         ),
     )
-    return pl.pallas_call(
+    dzt, dw3d = pl.pallas_call(
         _distmult_bwd_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((d, n), jnp.float32),
-            jax.ShapeDtypeStruct((n_et, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_et, 1, d), jnp.float32),
         ),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
@@ -408,7 +425,8 @@ def _distmult_bwd(zt, w, src2d, dst2d, chunk_type, g2d):
             bytes_accessed=n_chunks * chunk * 16,
             transcendentals=0,
         ),
-    )(chunk_type, src2d, dst2d, g2d, zt, w)
+    )(chunk_type, src3d, dst3d, g3d, zt, w3d)
+    return dzt, dw3d.reshape(n_et, d)
 
 
 @jax.custom_vjp

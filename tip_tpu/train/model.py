@@ -173,10 +173,14 @@ class TIP:
 
     # -- forward ------------------------------------------------------------
 
-    def encode(self, params, graph, remat: bool = False):
-        """Drug embeddings z [n_drug, n_hid2] from the training graph."""
+    def encode(self, params, graph, remat: bool = False, axis_name=None):
+        """Drug embeddings z [n_drug, n_hid2] from the training graph.
+
+        Under shard_map (``axis_name`` set) the D-D chunk axis of ``graph``
+        is device-local and the R-GCN layers psum their basis-mixed
+        intermediates (see nn/rgcn.py)."""
         enc = lambda p: fm_encoder_apply(
-            p, graph, self.cfg, self.gs, backend=self.backend
+            p, graph, self.cfg, self.gs, backend=self.backend, axis_name=axis_name
         )
         if remat:
             enc = jax.checkpoint(enc)
@@ -198,16 +202,23 @@ class TIP:
             params["decoder"], z, src2d, dst2d, chunk_type, sigmoid
         )
 
-    def loss(self, params, graph, key, remat: bool = False):
+    def loss(self, params, graph, key, remat: bool = False, axis_name=None):
         """Full-graph BCE with one fresh negative per positive
-        (reference: src/layers.py:328-342); padding masked out."""
+        (reference: src/layers.py:328-342); padding masked out.
+
+        With ``axis_name`` set (inside shard_map), each device scores its
+        local chunk shard with an independent sampling key and the masked
+        log-likelihood sums are psum'd before dividing by the GLOBAL number
+        of real edges."""
         gs = self.gs
-        z = self.encode(params, graph, remat=remat)
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        z = self.encode(params, graph, remat=remat, axis_name=axis_name)
+        shape2d = graph["dd_src2d"].shape
         et_flat = jnp.repeat(graph["dd_chunk_type"], gs.dd_chunk)
         neg_src, neg_dst = typed_negative_sampling(
             key, et_flat, graph["dd_bitmap"], gs.n_drug
         )
-        shape2d = (gs.dd_n_chunks, gs.dd_chunk)
         pos = self.score_padded(
             params, z, graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"]
         )
@@ -216,10 +227,12 @@ class TIP:
             graph["dd_chunk_type"],
         )
         valid = graph["dd_valid"]
-        n_valid = float(gs.dd_n_valid)
-        pos_loss = -jnp.sum(jnp.log(pos + EPS) * valid) / n_valid
-        neg_loss = -jnp.sum(jnp.log(1.0 - neg + EPS) * valid) / n_valid
-        return pos_loss + neg_loss
+        pos_sum = -jnp.sum(jnp.log(pos + EPS) * valid)
+        neg_sum = -jnp.sum(jnp.log(1.0 - neg + EPS) * valid)
+        total = pos_sum + neg_sum
+        if axis_name is not None:
+            total = jax.lax.psum(total, axis_name)
+        return total / float(gs.dd_n_valid)
 
     # -- evaluation ---------------------------------------------------------
 
