@@ -42,6 +42,37 @@ def test_variants_train(tiny_graph, mode, decoder):
     assert np.isfinite([r["loss"] for r in result["history"]]).all()
 
 
+def test_loss_matches_reference_probability_form(tiny_graph):
+    """softplus logit-space BCE == the reference's -log(score + eps) form
+    (reference: src/layers.py:338-340) away from saturation."""
+    import jax.numpy as jnp
+    from tip_tpu.train.model import EPS, make_test_arrays
+    from tip_tpu.sampling import typed_negative_sampling
+
+    cfg = small_cfg()
+    graph, gs = make_graph_arrays(tiny_graph, dd_chunk=32, pp_window=64, pp_chunk=32)
+    model = TIP.for_data(cfg, tiny_graph, gs)
+    params = model.init(jax.random.key(9))
+    k = jax.random.key(10)
+    loss = float(model.loss(params, graph, k))
+
+    # reference-form recomputation with the same negatives
+    z = model.encode(params, graph)
+    et_flat = jnp.repeat(graph["dd_chunk_type"], gs.dd_chunk)
+    ns, nd = typed_negative_sampling(
+        jax.random.fold_in(k, 0) if False else k, et_flat, graph["dd_bitmap"], gs.n_drug
+    )
+    sh = graph["dd_src2d"].shape
+    pos = model.score_padded(params, z, graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"])
+    neg = model.score_padded(params, z, ns.reshape(sh), nd.reshape(sh), graph["dd_chunk_type"])
+    v = graph["dd_valid"]
+    ref = float(
+        (jnp.sum(-jnp.log(pos + EPS) * v) + jnp.sum(-jnp.log(1 - neg + EPS) * v))
+        / gs.dd_n_valid
+    )
+    np.testing.assert_allclose(loss, ref, rtol=1e-5)
+
+
 def test_encode_is_deterministic(tiny_graph):
     cfg = small_cfg()
     graph, gs = make_graph_arrays(tiny_graph, dd_chunk=32, pp_window=64, pp_chunk=32)

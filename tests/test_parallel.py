@@ -53,7 +53,7 @@ def test_sharded_loss_matches_single_device(setup):
     # encoder path must be numerically identical (psum of partial bins)
     z_single = model.encode(params, graph)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from tip_tpu.parallel.sharded import graph_specs
     from tip_tpu.parallel.mesh import EDGE_AXIS
@@ -64,7 +64,6 @@ def test_sharded_loss_matches_single_device(setup):
             mesh=mesh,
             in_specs=(P(), graph_specs(sgraph)),
             out_specs=P(),
-            check_rep=False,
         )
     )(params, sgraph)
     np.testing.assert_allclose(

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tip_tpu.parallel.mesh import EDGE_AXIS
 
@@ -104,7 +104,6 @@ def make_sharded_train_step(model, opt, mesh, remat: bool = False):
             mesh=mesh,
             in_specs=(P(), specs, P()),
             out_specs=(P(), P()),
-            check_rep=False,
         )(params, graph, key)
         import optax
 

@@ -108,6 +108,9 @@ def train(
         )
         loss = float(loss)  # blocks; per-step timing stays honest
         dt = time.time() - t0
+        if not np.isfinite(loss):
+            log(json.dumps({"epoch": epoch, "loss": loss, "error": "non-finite loss; stopping"}))
+            raise FloatingPointError(f"non-finite loss {loss} at epoch {epoch}")
         if profile_dir and epoch == 4:
             jax.profiler.stop_trace()
         state.step += 1

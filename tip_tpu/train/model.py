@@ -219,16 +219,24 @@ class TIP:
         neg_src, neg_dst = typed_negative_sampling(
             key, et_flat, graph["dd_bitmap"], gs.n_drug
         )
-        pos = self.score_padded(
-            params, z, graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"]
+        pos_logits = self.score_padded(
+            params, z, graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"],
+            sigmoid=False,
         )
-        neg = self.score_padded(
+        neg_logits = self.score_padded(
             params, z, neg_src.reshape(shape2d), neg_dst.reshape(shape2d),
-            graph["dd_chunk_type"],
+            graph["dd_chunk_type"], sigmoid=False,
         )
         valid = graph["dd_valid"]
-        pos_sum = -jnp.sum(jnp.log(pos + EPS) * valid)
-        neg_sum = -jnp.sum(jnp.log(1.0 - neg + EPS) * valid)
+        # Stable logit-space BCE: -log(sigmoid(x)) = softplus(-x) and
+        # -log(1 - sigmoid(x)) = softplus(x).  The reference computes
+        # -log(score + 1e-13) on probabilities (src/layers.py:338-340) — the
+        # same value up to the eps clamp — but XLA's excess-precision
+        # reassociation turns (1 - sigmoid(x)) + eps into exactly 0 for
+        # saturated logits, so the probability form produces log(0) = -inf
+        # on accelerators.  Verified equivalent in tests/test_model.py.
+        pos_sum = jnp.sum(jax.nn.softplus(-pos_logits) * valid)
+        neg_sum = jnp.sum(jax.nn.softplus(neg_logits) * valid)
         total = pos_sum + neg_sum
         if axis_name is not None:
             total = jax.lax.psum(total, axis_name)
