@@ -1,0 +1,164 @@
+"""D-D-only model: drug embedding -> 2x basis R-GCN -> multi-relational decoder.
+
+Equivalent of the reference's DR-DF / DR-NN variants (reference:
+model/ddm-df_rgcn.py:38-84 with n_base=16, n_embed=16, n_hid1=32, n_hid2=16;
+model/ddm-nn.py analogous with the NN decoder).  Unlike FMEncoder, these
+variants apply a ReLU AFTER the second R-GCN layer too (reference:
+model/ddm-df_rgcn.py:59), preserved here behind ``final_relu``.
+
+Reuses the TIP machinery: chunk-aligned padded D-D buffers, both ops
+backends, bitmap negative sampling, logit-space BCE, batched metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from tip_tpu.data.packing import TriGraphData, pad_typed_edges
+from tip_tpu.metrics import grouped_ranking_metrics, macro_average
+from tip_tpu.nn import (
+    distmult_init,
+    distmult_apply,
+    nn_decoder_init,
+    nn_decoder_apply,
+    rgcn_init,
+    rgcn_apply_padded,
+)
+from tip_tpu.nn import initializers as init
+from tip_tpu.nn.decoders import distmult_apply_padded, nn_decoder_apply_padded
+from tip_tpu.sampling import typed_negative_sampling
+from tip_tpu.train.model import GraphStatic, resolve_backend
+
+
+@dataclass(frozen=True)
+class DDConfig:
+    n_embed: int = 16
+    n_hid1: int = 32
+    n_hid2: int = 16
+    num_base: int = 16
+    decoder: str = "distmult"  # 'distmult' (DR-DF) | 'nn' (DR-NN)
+    nn_decoder_l1_dim: int = 16
+    final_relu: bool = True  # reference: model/ddm-df_rgcn.py:59
+
+
+def make_dd_graph_arrays(data: TriGraphData, chunk: int = 512):
+    padded = pad_typed_edges(data.dd_train, data.n_drug, chunk=chunk)
+    n_chunks = padded.chunk_type.shape[0]
+    graph = {
+        "dd_src2d": jnp.asarray(padded.src.reshape(n_chunks, chunk)),
+        "dd_dst2d": jnp.asarray(padded.dst.reshape(n_chunks, chunk)),
+        "dd_valid": jnp.asarray(padded.valid.astype("float32")),
+        "dd_chunk_type": jnp.asarray(padded.chunk_type),
+        "dd_deg": jnp.asarray(data.dd_train_deg),
+        "dd_bitmap": jnp.asarray(data.dd_train_bitmap),
+    }
+    gs = GraphStatic(
+        n_drug=data.n_drug, n_prot=data.n_prot, n_et=data.n_et,
+        dd_chunk=chunk, dd_n_chunks=n_chunks, dd_n_valid=padded.n_valid,
+        pp_window=0, pp_n_windows=0,
+    )
+    return graph, gs
+
+
+@dataclass(frozen=True)
+class DDModel:
+    cfg: DDConfig
+    gs: GraphStatic
+    backend: str = "xla"
+
+    @staticmethod
+    def for_data(cfg: DDConfig, gs: GraphStatic, backend: str = "auto") -> "DDModel":
+        return DDModel(cfg=cfg, gs=gs, backend=resolve_backend(backend))
+
+    def init(self, key) -> dict:
+        cfg, gs = self.cfg, self.gs
+        k_e, k_r1, k_r2, k_d = jax.random.split(key, 4)
+        params = {
+            "embed": init.normal(k_e, (gs.n_drug, cfg.n_embed)),
+            "rgcn1": rgcn_init(
+                k_r1, cfg.n_embed, cfg.n_hid1, gs.n_et, cfg.num_base, after_relu=False
+            ),
+            "rgcn2": rgcn_init(
+                k_r2, cfg.n_hid1, cfg.n_hid2, gs.n_et, cfg.num_base, after_relu=True
+            ),
+        }
+        if cfg.decoder == "distmult":
+            params["decoder"] = distmult_init(k_d, cfg.n_hid2, gs.n_et)
+        else:
+            params["decoder"] = nn_decoder_init(
+                k_d, cfg.n_hid2, gs.n_et, cfg.nn_decoder_l1_dim
+            )
+        return params
+
+    def encode(self, params, graph, axis_name=None):
+        gs = self.gs
+        dd = (
+            graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"],
+            graph["dd_deg"],
+        )
+        x = params["embed"]
+        x = rgcn_apply_padded(
+            params["rgcn1"], x, *dd, gs.n_drug, gs.n_et,
+            backend=self.backend, axis_name=axis_name,
+        )
+        x = jax.nn.relu(x)
+        x = rgcn_apply_padded(
+            params["rgcn2"], x, *dd, gs.n_drug, gs.n_et,
+            backend=self.backend, axis_name=axis_name,
+        )
+        return jax.nn.relu(x) if self.cfg.final_relu else x
+
+    def score(self, params, z, src, dst, et, sigmoid=True):
+        if self.cfg.decoder == "distmult":
+            return distmult_apply(params["decoder"], z, src, dst, et, sigmoid)
+        return nn_decoder_apply(params["decoder"], z, src, dst, et, sigmoid)
+
+    def score_padded(self, params, z, src2d, dst2d, chunk_type, sigmoid=True):
+        if self.cfg.decoder == "distmult":
+            return distmult_apply_padded(
+                params["decoder"], z, src2d, dst2d, chunk_type, sigmoid,
+                backend=self.backend,
+            )
+        return nn_decoder_apply_padded(
+            params["decoder"], z, src2d, dst2d, chunk_type, sigmoid
+        )
+
+    def loss(self, params, graph, key, axis_name=None):
+        gs = self.gs
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        z = self.encode(params, graph, axis_name=axis_name)
+        et_flat = jnp.repeat(graph["dd_chunk_type"], gs.dd_chunk)
+        ns, nd = typed_negative_sampling(key, et_flat, graph["dd_bitmap"], gs.n_drug)
+        sh = graph["dd_src2d"].shape
+        pos_l = self.score_padded(
+            params, z, graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"],
+            sigmoid=False,
+        )
+        neg_l = self.score_padded(
+            params, z, ns.reshape(sh), nd.reshape(sh), graph["dd_chunk_type"],
+            sigmoid=False,
+        )
+        v = graph["dd_valid"]
+        total = jnp.sum(jax.nn.softplus(-pos_l) * v) + jnp.sum(
+            jax.nn.softplus(neg_l) * v
+        )
+        if axis_name is not None:
+            total = jax.lax.psum(total, axis_name)
+        return total / float(gs.dd_n_valid)
+
+    def sample_test_negatives(self, key, test):
+        ns, nd = typed_negative_sampling(
+            key, test["et"], test["bitmap"], self.gs.n_drug
+        )
+        return {"src": ns, "dst": nd}
+
+    def evaluate(self, params, graph, test, test_neg):
+        z = self.encode(params, graph)
+        pos = self.score(params, z, test["src"], test["dst"], test["et"])
+        neg = self.score(params, z, test_neg["src"], test_neg["dst"], test["et"])
+        per_rel = grouped_ranking_metrics(pos, neg, test["et"], self.gs.n_et)
+        return per_rel, macro_average(per_rel)
