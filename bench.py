@@ -30,16 +30,19 @@ def main() -> None:
     import optax
 
     from tip_tpu.config import ModelConfig, TrainConfig
-    from tip_tpu.data import build_trigraph, load_decagon_raw, synthetic_trigraph
+    from tip_tpu.data import (
+        build_trigraph, cached_trigraph, load_decagon_raw, synthetic_trigraph,
+    )
     from tip_tpu.data.decagon import has_reference_data
     from tip_tpu.train.model import TIP, make_graph_arrays
 
     if has_reference_data():
         raw = load_decagon_raw()
+        data = cached_trigraph(raw, split_rate=0.9, seed=1111)
     else:  # no dataset on this machine — bench a synthetic graph of same scale
         raw = synthetic_trigraph(n_drug=645, n_prot=19081, n_et=1097,
                                  pairs_per_et=4200, seed=0)
-    data = build_trigraph(raw, split_rate=0.9, seed=1111)
+        data = build_trigraph(raw, split_rate=0.9, seed=1111)
     graph, gs = make_graph_arrays(data)
     model = TIP.for_data(ModelConfig.tip_cat(), data, gs, backend="auto")
     params = model.init(jax.random.key(0))

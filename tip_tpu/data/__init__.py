@@ -1,4 +1,5 @@
 from tip_tpu.data.decagon import DecagonRaw, load_decagon_raw
+from tip_tpu.data.cache import cached_trigraph
 from tip_tpu.data.packing import (
     TypedEdges,
     TriGraphData,
@@ -17,4 +18,5 @@ __all__ = [
     "sort_typed_edges",
     "build_trigraph",
     "synthetic_trigraph",
+    "cached_trigraph",
 ]

@@ -108,7 +108,10 @@ def sort_typed_edges(edges: TypedEdges) -> TypedEdges:
     """
     src, dst = edges.edge_index
     et = edges.edge_type
-    order = np.lexsort((src, dst, et))
+    from tip_tpu.native import sort_edges_order
+
+    n_nodes = int(max(src.max(), dst.max())) + 1 if src.size else 1
+    order = sort_edges_order(et, dst, src, n_nodes)
     return TypedEdges(
         edges.edge_index[:, order].copy(), et[order].copy(), edges.range_list
     )
@@ -121,7 +124,9 @@ def in_degree(edge_index: np.ndarray, n_nodes: int) -> np.ndarray:
     ``aggr='mean'`` over the whole concatenated edge list (reference:
     src/layers.py:123), so the denominator is the cross-relation in-degree.
     """
-    return np.bincount(edge_index[1], minlength=n_nodes).astype(np.int64)
+    from tip_tpu.native import bincount_i32
+
+    return bincount_i32(edge_index[1], n_nodes)
 
 
 def encode_keys(edges: TypedEdges, n_nodes: int) -> np.ndarray:
@@ -152,20 +157,16 @@ class PaddedTypedEdges:
 
 
 def pad_typed_edges(edges: TypedEdges, n_nodes: int, chunk: int = 512) -> PaddedTypedEdges:
+    from tip_tpu.native import pad_typed_fill
+
     counts = edges.counts()
     padded_counts = np.maximum(1, -(-counts // chunk)) * chunk
     total = int(padded_counts.sum())
-    src = np.zeros(total, np.int32)
-    dst = np.full(total, n_nodes, np.int32)
-    valid = np.zeros(total, bool)
     new_ranges = _ranges_from_counts(padded_counts)
-    for t in range(edges.n_et):
-        s_old, e_old = edges.range_list[t]
-        s_new = new_ranges[t, 0]
-        n = e_old - s_old
-        src[s_new : s_new + n] = edges.edge_index[0, s_old:e_old]
-        dst[s_new : s_new + n] = edges.edge_index[1, s_old:e_old]
-        valid[s_new : s_new + n] = True
+    src, dst, valid = pad_typed_fill(
+        edges.edge_index[0], edges.edge_index[1], edges.range_list,
+        new_ranges[:, 0], total, n_nodes,
+    )
     chunk_type = np.repeat(
         np.arange(edges.n_et, dtype=np.int32), padded_counts // chunk
     )

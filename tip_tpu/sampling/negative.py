@@ -32,13 +32,11 @@ import numpy as np
 
 
 def build_key_bitmap(keys: np.ndarray, key_space: int) -> np.ndarray:
-    """Pack positive-edge keys into a uint32 bitmap of ceil(space/32) words."""
-    n_words = (key_space + 31) // 32
-    bitmap = np.zeros(n_words, np.uint32)
-    words = (keys >> 5).astype(np.int64)
-    bits = (keys & 31).astype(np.uint32)
-    np.bitwise_or.at(bitmap, words, np.uint32(1) << bits)
-    return bitmap
+    """Pack positive-edge keys into a uint32 bitmap of ceil(space/32) words
+    (native tipcore fast path with numpy fallback)."""
+    from tip_tpu.native import build_bitmap
+
+    return build_bitmap(np.asarray(keys, np.int64), key_space)
 
 
 def _collides_bitmap(cand, bitmap):

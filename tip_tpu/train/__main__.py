@@ -31,15 +31,18 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from tip_tpu.data import build_trigraph, load_decagon_raw, synthetic_trigraph
+    from tip_tpu.data import (
+        build_trigraph, cached_trigraph, load_decagon_raw, synthetic_trigraph,
+    )
     from tip_tpu.train.loop import train
 
     cfg, tcfg = configs_from_args(args)
     if args.synthetic:
         raw = synthetic_trigraph()
+        data = build_trigraph(raw, split_rate=tcfg.split_rate, seed=tcfg.seed)
     else:
         raw = load_decagon_raw(**({"data_dir": args.data_dir} if args.data_dir else {}))
-    data = build_trigraph(raw, split_rate=tcfg.split_rate, seed=tcfg.seed)
+        data = cached_trigraph(raw, split_rate=tcfg.split_rate, seed=tcfg.seed)
     _, result = train(
         cfg, tcfg, data, profile_dir=args.profile_dir, backend=args.backend
     )
