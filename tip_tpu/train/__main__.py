@@ -24,6 +24,10 @@ def main() -> None:
     )
     parser.add_argument("--profile-dir", default=None)
     parser.add_argument("--out", default=None, help="write final metrics JSON here")
+    parser.add_argument(
+        "--report", default=None,
+        help="write named per-relation metric report (json/csv) here",
+    )
     args = parser.parse_args()
 
     if args.cpu:
@@ -49,6 +53,24 @@ def main() -> None:
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"final": result["final"], "history": result["history"]}, f)
+    if args.report:
+        from tip_tpu.analysis import (
+            decagon_rank_comparison,
+            load_side_effect_names,
+            per_relation_table,
+            save_report,
+        )
+
+        et_ids = raw.et_ids
+        try:
+            names = load_side_effect_names(et_ids)
+            summary = dict(result["final"])
+            summary.update(decagon_rank_comparison(result["per_relation"], et_ids))
+        except (FileNotFoundError, OSError):
+            names, summary = None, dict(result["final"])
+        rows = per_relation_table(result["per_relation"], et_ids, names)
+        save_report(args.report, rows, summary)
+        print(f"per-relation report -> {args.report}")
 
 
 if __name__ == "__main__":
