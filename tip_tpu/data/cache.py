@@ -24,7 +24,10 @@ DEFAULT_CACHE_DIR = os.environ.get(
 
 def _fingerprint(raw, split_rate: float, seed: int) -> str:
     h = hashlib.sha256()
-    h.update(f"v{_LAYOUT_VERSION}|{raw.n_drug}|{raw.n_prot}|{split_rate}|{seed}|".encode())
+    mono = int(getattr(raw, "drug_mono", None) is not None)
+    h.update(
+        f"v{_LAYOUT_VERSION}|{raw.n_drug}|{raw.n_prot}|{split_rate}|{seed}|{mono}|".encode()
+    )
     h.update(np.asarray(raw.et_ids).tobytes())
     counts = np.array([p.shape[1] for p in raw.dd_pair_list], np.int64)
     h.update(counts.tobytes())
@@ -46,6 +49,8 @@ def _save(path: str, g: TriGraphData) -> None:
         pp_train=g.pp_train, pp_test=g.pp_test,
         pp_norm_index=g.pp_norm_index, pp_norm_weight=g.pp_norm_weight,
         dp=g.dp_edge_index, dp_deg=g.dp_drug_deg,
+        **({"drug_feat": g.drug_feat} if g.drug_feat is not None else {}),
+        **({"d_norm": g.d_norm} if g.d_norm is not None else {}),
     )
 
 
@@ -60,6 +65,8 @@ def _load(path: str) -> TriGraphData:
         pp_train=z["pp_train"], pp_test=z["pp_test"],
         pp_norm_index=z["pp_norm_index"], pp_norm_weight=z["pp_norm_weight"],
         dp_edge_index=z["dp"], dp_drug_deg=z["dp_deg"],
+        drug_feat=z["drug_feat"] if "drug_feat" in z else None,
+        d_norm=z["d_norm"] if "d_norm" in z else None,
     )
 
 

@@ -109,3 +109,26 @@ def load_decagon_raw(
 
 def has_reference_data(data_dir: str = DEFAULT_DATA_DIR) -> bool:
     return os.path.exists(os.path.join(data_dir, "graph_info.pkl"))
+
+
+def et_list_by_nnz_band(
+    low: int, high: int, data_dir: str = DEFAULT_DATA_DIR
+) -> np.ndarray:
+    """Relation ids whose symmetric adjacency nnz lies in (low, high).
+
+    Equivalent of the reference's ``cut_data`` band selection (reference:
+    data/utils.py:172-195; e.g. the 1k-5k band of test/dd_net_scalable.py).
+    """
+    import scipy.sparse as sp
+
+    out = []
+    for t in range(1317):
+        path = os.path.join(
+            data_dir, "sym_adj", "drug-sparse-adj", f"type_{t}.npz"
+        )
+        if not os.path.exists(path):
+            continue
+        nnz = sp.load_npz(path).nnz
+        if low < nnz < high:
+            out.append(t)
+    return np.asarray(out, dtype=np.int32)

@@ -303,8 +303,9 @@ class TriGraphData:
     dp_edge_index: np.ndarray  # [2, Edp]
     dp_drug_deg: np.ndarray  # [n_drug]
 
-    # Optional general drug feature matrix (None => identity fast path)
-    drug_feat: Optional[object] = None  # scipy CSR if present
+    # Optional general drug feature matrix [n_drug, n_drug + n_mono]
+    # (None => identity fast path)
+    drug_feat: Optional[np.ndarray] = None
     d_norm: Optional[np.ndarray] = None  # [n_drug] divisor (ones by default)
 
 
@@ -341,6 +342,16 @@ def build_trigraph(
     order = np.lexsort((dp[0], dp[1]))
     dp = dp[:, order].copy()
 
+    # optional mono side-effect features: dense [identity | mono] block, the
+    # general drug-feature path (reference: data/utils.py:109-132; the
+    # default pipeline overrides to pure identity, reference: prepare.py:22)
+    drug_feat = None
+    if getattr(raw, "drug_mono", None) is not None:
+        mono = np.asarray(raw.drug_mono.todense(), np.float32)
+        drug_feat = np.concatenate(
+            [np.eye(raw.n_drug, dtype=np.float32), mono], axis=1
+        )
+
     from tip_tpu.sampling.negative import build_key_bitmap
 
     key_space = len(raw.dd_pair_list) * raw.n_drug * raw.n_drug
@@ -364,6 +375,7 @@ def build_trigraph(
         pp_norm_weight=pp_norm_weight,
         dp_edge_index=dp,
         dp_drug_deg=in_degree(dp, raw.n_drug),
+        drug_feat=drug_feat,
     )
 
 

@@ -16,6 +16,12 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="Train TIP on the Decagon tri-graph")
     add_config_flags(parser)
     parser.add_argument("--data-dir", default=None, help="reference data dir")
+    parser.add_argument(
+        "--et-band", default=None, metavar="LOW,HIGH",
+        help="train only relations with nnz in (LOW, HIGH) (cut_data analog)",
+    )
+    parser.add_argument("--mono", action="store_true",
+                        help="use mono side-effect drug features")
     parser.add_argument("--synthetic", action="store_true", help="tiny random graph")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument(
@@ -45,7 +51,15 @@ def main() -> None:
         raw = synthetic_trigraph()
         data = build_trigraph(raw, split_rate=tcfg.split_rate, seed=tcfg.seed)
     else:
-        raw = load_decagon_raw(**({"data_dir": args.data_dir} if args.data_dir else {}))
+        kw = {"data_dir": args.data_dir} if args.data_dir else {}
+        if args.et_band:
+            from tip_tpu.data.decagon import et_list_by_nnz_band
+
+            low, high = (int(x) for x in args.et_band.split(","))
+            kw["et_list"] = et_list_by_nnz_band(low, high, **kw)
+        if args.mono:
+            kw["mono"] = True
+        raw = load_decagon_raw(**kw)
         data = cached_trigraph(raw, split_rate=tcfg.split_rate, seed=tcfg.seed)
     _, result = train(
         cfg, tcfg, data, profile_dir=args.profile_dir, backend=args.backend

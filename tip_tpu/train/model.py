@@ -57,6 +57,7 @@ class GraphStatic:
     dd_n_valid: int
     pp_window: int
     pp_n_windows: int
+    drug_feat_dim: int = 0  # 0 => identity drug features
 
 
 def make_graph_arrays(
@@ -100,6 +101,10 @@ def make_graph_arrays(
         "dp_dst": jnp.asarray(data.dp_edge_index[1]),
         "dp_deg": jnp.asarray(data.dp_drug_deg),
     }
+    if data.drug_feat is not None:
+        graph["drug_feat"] = jnp.asarray(data.drug_feat)
+    if data.d_norm is not None:
+        graph["d_norm"] = jnp.asarray(data.d_norm)
     gs = GraphStatic(
         n_drug=data.n_drug,
         n_prot=data.n_prot,
@@ -109,6 +114,7 @@ def make_graph_arrays(
         dd_n_valid=padded.n_valid,
         pp_window=pp_window,
         pp_n_windows=wpp.n_windows,
+        drug_feat_dim=(0 if data.drug_feat is None else data.drug_feat.shape[1]),
     )
     return graph, gs
 
@@ -158,9 +164,11 @@ class TIP:
 
     def init(self, key) -> dict:
         k_enc, k_dec = jax.random.split(key)
+        in_dim_drug = self.gs.drug_feat_dim or None
         params = {
             "encoder": fm_encoder_init(
-                k_enc, self.cfg, self.gs.n_drug, self.gs.n_prot, self.gs.n_et
+                k_enc, self.cfg, self.gs.n_drug, self.gs.n_prot, self.gs.n_et,
+                in_dim_drug=in_dim_drug,
             )
         }
         if self.cfg.decoder == "distmult":
@@ -180,7 +188,8 @@ class TIP:
         is device-local and the R-GCN layers psum their basis-mixed
         intermediates (see nn/rgcn.py)."""
         enc = lambda p: fm_encoder_apply(
-            p, graph, self.cfg, self.gs, backend=self.backend, axis_name=axis_name
+            p, graph, self.cfg, self.gs, backend=self.backend, axis_name=axis_name,
+            x_drug=graph.get("drug_feat"), d_norm=graph.get("d_norm"),
         )
         if remat:
             enc = jax.checkpoint(enc)
