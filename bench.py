@@ -29,6 +29,9 @@ REFERENCE_EDGES_PER_S = 8.33e6  # generous single-GPU reference anchor (see abov
 def main() -> None:
     import optax
 
+    from tip_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from tip_tpu.config import ModelConfig, TrainConfig
     from tip_tpu.data import (
         build_trigraph, cached_trigraph, load_decagon_raw, synthetic_trigraph,

@@ -41,6 +41,9 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from tip_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from tip_tpu.data import (
         build_trigraph, cached_trigraph, load_decagon_raw, synthetic_trigraph,
     )
