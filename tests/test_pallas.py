@@ -110,9 +110,37 @@ def test_model_backend_parity():
         z_pal = m_pal.encode(params, graph)
     np.testing.assert_allclose(np.asarray(z_pal), np.asarray(z_xla), atol=1e-4)
 
-    l_xla, g_xla = jax.value_and_grad(lambda p: m_xla.loss(p, graph, k))(params)
+    # loss/grad parity with FIXED negatives (the two backends use different
+    # sampler streams by design — XLA bitmap gather vs the in-VMEM kernel)
+    from tip_tpu.sampling import typed_negative_sampling_chunked
+
+    ns2d, nd2d = typed_negative_sampling_chunked(
+        k, graph["dd_chunk_type"], graph["dd_bitmap"], gs.n_drug, gs.n_et,
+        gs.dd_chunk, backend="xla",
+    )
+
+    def fixed_loss(model):
+        def fn(p):
+            z = model.encode(p, graph)
+            pos = model.score_padded(
+                p, z, graph["dd_src2d"], graph["dd_dst2d"],
+                graph["dd_chunk_type"], sigmoid=False,
+            )
+            neg = model.score_padded(
+                p, z, ns2d, nd2d, graph["dd_chunk_type"], sigmoid=False,
+            )
+            v = graph["dd_valid"]
+            return (
+                jnp.sum(jax.nn.softplus(-pos) * v)
+                + jnp.sum(jax.nn.softplus(neg) * v)
+            ) / gs.dd_n_valid
+        return fn
+
+    import jax.numpy as jnp
+
+    l_xla, g_xla = jax.value_and_grad(fixed_loss(m_xla))(params)
     with pltpu.force_tpu_interpret_mode():
-        l_pal, g_pal = jax.value_and_grad(lambda p: m_pal.loss(p, graph, k))(params)
+        l_pal, g_pal = jax.value_and_grad(fixed_loss(m_pal))(params)
     np.testing.assert_allclose(float(l_pal), float(l_xla), rtol=1e-5)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
@@ -120,6 +148,15 @@ def test_model_backend_parity():
         ),
         g_pal, g_xla,
     )
+
+    # the pallas sampler itself: same invariants as the XLA path
+    with pltpu.force_tpu_interpret_mode():
+        ps, pd = typed_negative_sampling_chunked(
+            k, graph["dd_chunk_type"], graph["dd_bitmap"], gs.n_drug, gs.n_et,
+            gs.dd_chunk, backend="pallas",
+        )
+    assert 0 <= int(jnp.min(ps)) and int(jnp.max(ps)) < gs.n_drug
+    assert 0 <= int(jnp.min(pd)) and int(jnp.max(pd)) < gs.n_drug
 
 
 def test_typed_neighbor_sum_padded_grad_matches_xla(packed):

@@ -11,18 +11,11 @@ def _graph():
     return build_trigraph(raw, split_rate=0.9, seed=9)
 
 
-import pytest
-
-
-@pytest.mark.parametrize("membership", ["bitmap", "sorted_keys"])
-def test_negatives_avoid_same_type_positives(membership):
+def test_negatives_avoid_same_type_positives():
     g = _graph()
     et = jnp.asarray(g.dd_train.edge_type)
-    positives = jnp.asarray(
-        g.dd_train_bitmap if membership == "bitmap" else g.dd_train_keys
-    )
     src, dst = typed_negative_sampling(
-        jax.random.key(0), et, positives, g.n_drug, rounds=8
+        jax.random.key(0), et, jnp.asarray(g.dd_train_bitmap), g.n_drug, rounds=8
     )
     src, dst = np.asarray(src), np.asarray(dst)
     assert src.shape == (g.dd_train.n_edges,)

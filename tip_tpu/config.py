@@ -33,6 +33,10 @@ class ModelConfig:
     pp_hid2: int = 16  # P-P GCN layer-2 width
     decoder: str = "distmult"  # 'distmult' | 'nn'
     nn_decoder_l1_dim: int = 16  # reference: src/layers.py:601
+    # Pallas kernel matmul input precision ('float32' | 'bfloat16').
+    # Accumulation is always float32; bfloat16 costs ~8 mantissa bits on the
+    # one-hot matmul inputs for ~4x MXU rate on v5e.
+    kernel_dtype: str = "float32"
 
     def __post_init__(self) -> None:
         if self.mode not in ("cat", "add"):

@@ -15,7 +15,7 @@ import numpy as np
 
 from tip_tpu.data.packing import TriGraphData, TypedEdges, build_trigraph
 
-_LAYOUT_VERSION = 2  # bump when TriGraphData layout changes
+_LAYOUT_VERSION = 3  # bump when TriGraphData layout changes
 
 DEFAULT_CACHE_DIR = os.environ.get(
     "TIP_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "tip_tpu")

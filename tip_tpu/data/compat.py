@@ -23,7 +23,7 @@ from tip_tpu.data.packing import (
     in_degree,
     sort_typed_edges,
 )
-from tip_tpu.sampling.negative import build_key_bitmap
+from tip_tpu.sampling.negative import build_typed_bitmap
 
 
 def _np(x) -> np.ndarray:
@@ -70,7 +70,6 @@ def load_data_dict(path: str) -> TriGraphData:
 
     train_keys = encode_keys(dd_train, n_drug)
     test_keys = encode_keys(dd_test, n_drug)
-    key_space = n_et * n_drug * n_drug
 
     d_norm = None
     if "d_norm" in d:
@@ -87,8 +86,12 @@ def load_data_dict(path: str) -> TriGraphData:
         dd_train_deg=in_degree(dd_train.edge_index, n_drug),
         dd_train_keys=train_keys,
         dd_test_keys=test_keys,
-        dd_train_bitmap=build_key_bitmap(train_keys, key_space),
-        dd_test_bitmap=build_key_bitmap(test_keys, key_space),
+        dd_train_bitmap=build_typed_bitmap(
+            dd_train.edge_index, dd_train.edge_type, n_drug, n_et
+        ),
+        dd_test_bitmap=build_typed_bitmap(
+            dd_test.edge_index, dd_test.edge_type, n_drug, n_et
+        ),
         pp_train=pp_train,
         pp_test=pp_test,
         pp_norm_index=pp_norm_index,

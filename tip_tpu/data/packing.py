@@ -352,9 +352,8 @@ def build_trigraph(
             [np.eye(raw.n_drug, dtype=np.float32), mono], axis=1
         )
 
-    from tip_tpu.sampling.negative import build_key_bitmap
+    from tip_tpu.sampling.negative import build_typed_bitmap
 
-    key_space = len(raw.dd_pair_list) * raw.n_drug * raw.n_drug
     train_keys = encode_keys(dd_train, raw.n_drug)
     test_keys = encode_keys(dd_test, raw.n_drug)
 
@@ -367,8 +366,14 @@ def build_trigraph(
         dd_train_deg=in_degree(dd_train.edge_index, raw.n_drug),
         dd_train_keys=train_keys,
         dd_test_keys=test_keys,
-        dd_train_bitmap=build_key_bitmap(train_keys, key_space),
-        dd_test_bitmap=build_key_bitmap(test_keys, key_space),
+        dd_train_bitmap=build_typed_bitmap(
+            dd_train.edge_index, dd_train.edge_type, raw.n_drug,
+            len(raw.dd_pair_list),
+        ),
+        dd_test_bitmap=build_typed_bitmap(
+            dd_test.edge_index, dd_test.edge_type, raw.n_drug,
+            len(raw.dd_pair_list),
+        ),
         pp_train=pp_train,
         pp_test=pp_test,
         pp_norm_index=pp_norm_index,

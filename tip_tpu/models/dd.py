@@ -29,7 +29,10 @@ from tip_tpu.nn import (
 )
 from tip_tpu.nn import initializers as init
 from tip_tpu.nn.decoders import distmult_apply_padded, nn_decoder_apply_padded
-from tip_tpu.sampling import typed_negative_sampling
+from tip_tpu.sampling import (
+    typed_negative_sampling,
+    typed_negative_sampling_chunked,
+)
 from tip_tpu.train.model import GraphStatic, resolve_backend
 
 
@@ -42,6 +45,7 @@ class DDConfig:
     decoder: str = "distmult"  # 'distmult' (DR-DF) | 'nn' (DR-NN)
     nn_decoder_l1_dim: int = 16
     final_relu: bool = True  # reference: model/ddm-df_rgcn.py:59
+    kernel_dtype: str = "float32"  # see ModelConfig.kernel_dtype
 
 
 def make_dd_graph_arrays(data: TriGraphData, chunk: int = 512):
@@ -103,11 +107,13 @@ class DDModel:
         x = rgcn_apply_padded(
             params["rgcn1"], x, *dd, gs.n_drug, gs.n_et,
             backend=self.backend, axis_name=axis_name,
+            kernel_dtype=self.cfg.kernel_dtype,
         )
         x = jax.nn.relu(x)
         x = rgcn_apply_padded(
             params["rgcn2"], x, *dd, gs.n_drug, gs.n_et,
             backend=self.backend, axis_name=axis_name,
+            kernel_dtype=self.cfg.kernel_dtype,
         )
         return jax.nn.relu(x) if self.cfg.final_relu else x
 
@@ -120,7 +126,7 @@ class DDModel:
         if self.cfg.decoder == "distmult":
             return distmult_apply_padded(
                 params["decoder"], z, src2d, dst2d, chunk_type, sigmoid,
-                backend=self.backend,
+                backend=self.backend, kernel_dtype=self.cfg.kernel_dtype,
             )
         return nn_decoder_apply_padded(
             params["decoder"], z, src2d, dst2d, chunk_type, sigmoid
@@ -131,16 +137,16 @@ class DDModel:
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         z = self.encode(params, graph, axis_name=axis_name)
-        et_flat = jnp.repeat(graph["dd_chunk_type"], gs.dd_chunk)
-        ns, nd = typed_negative_sampling(key, et_flat, graph["dd_bitmap"], gs.n_drug)
-        sh = graph["dd_src2d"].shape
+        ns2d, nd2d = typed_negative_sampling_chunked(
+            key, graph["dd_chunk_type"], graph["dd_bitmap"], gs.n_drug,
+            gs.n_et, gs.dd_chunk, backend=self.backend,
+        )
         pos_l = self.score_padded(
             params, z, graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"],
             sigmoid=False,
         )
         neg_l = self.score_padded(
-            params, z, ns.reshape(sh), nd.reshape(sh), graph["dd_chunk_type"],
-            sigmoid=False,
+            params, z, ns2d, nd2d, graph["dd_chunk_type"], sigmoid=False,
         )
         v = graph["dd_valid"]
         total = jnp.sum(jax.nn.softplus(-pos_l) * v) + jnp.sum(

@@ -25,7 +25,8 @@ def distmult_apply(params, z, src, dst, edge_type, sigmoid: bool = True):
 
 
 def distmult_apply_padded(
-    params, z, src2d, dst2d, chunk_type, sigmoid: bool = True, backend: str = "xla"
+    params, z, src2d, dst2d, chunk_type, sigmoid: bool = True,
+    backend: str = "xla", kernel_dtype: str = "float32",
 ):
     """Chunk-aligned variant returning flat scores [n_chunks * chunk].
 
@@ -36,7 +37,8 @@ def distmult_apply_padded(
         from tip_tpu.ops.pallas_segment import distmult_logits_padded
 
         logits = distmult_logits_padded(
-            z, params["weight"], src2d, dst2d, chunk_type
+            z, params["weight"], src2d, dst2d, chunk_type,
+            jnp.dtype(kernel_dtype),
         ).reshape(-1)
     else:
         chunk = src2d.shape[1]

@@ -48,7 +48,7 @@ def pp_encoder_apply(params, x_prot, norm_index, norm_weight, n_prot: int):
     return gcn_conv_apply(params["conv2"], h, norm_index, norm_weight, n_prot)
 
 
-def pp_encoder_apply_windowed(params, x_prot, graph, gs):
+def pp_encoder_apply_windowed(params, x_prot, graph, gs, kernel_dtype="float32"):
     """Pallas windowed-SpMM path over the pre-windowed P-P buffers."""
     from tip_tpu.nn.gcn import gcn_conv_apply_windowed
 
@@ -56,9 +56,11 @@ def pp_encoder_apply_windowed(params, x_prot, graph, gs):
         graph["ppw_src"], graph["ppw_dstl"], graph["ppw_w"],
         graph["ppw_chunk_window"], gs.pp_n_windows, gs.pp_window, gs.n_prot,
     )
-    h = gcn_conv_apply_windowed(params["conv1"], x_prot, *args)
+    h = gcn_conv_apply_windowed(params["conv1"], x_prot, *args,
+                                kernel_dtype=kernel_dtype)
     h = jax.nn.relu(h)
-    return gcn_conv_apply_windowed(params["conv2"], h, *args)
+    return gcn_conv_apply_windowed(params["conv2"], h, *args,
+                                   kernel_dtype=kernel_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +111,9 @@ def fm_encoder_apply(
 
     # P-P net
     if backend == "pallas":
-        hp = pp_encoder_apply_windowed(params["pp"], x_prot, graph, gs)
+        hp = pp_encoder_apply_windowed(
+            params["pp"], x_prot, graph, gs, kernel_dtype=cfg.kernel_dtype
+        )
     else:
         hp = pp_encoder_apply(
             params["pp"], x_prot, graph["pp_norm_index"], graph["pp_norm_weight"],
@@ -132,12 +136,12 @@ def fm_encoder_apply(
     )
     x = rgcn_apply_padded(
         params["rgcn1"], x, *dd, gs.n_drug, gs.n_et, backend=backend,
-        axis_name=axis_name,
+        axis_name=axis_name, kernel_dtype=cfg.kernel_dtype,
     )
     x = jax.nn.relu(x)
     return rgcn_apply_padded(
         params["rgcn2"], x, *dd, gs.n_drug, gs.n_et, backend=backend,
-        axis_name=axis_name,
+        axis_name=axis_name, kernel_dtype=cfg.kernel_dtype,
     )
 
 

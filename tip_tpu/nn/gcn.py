@@ -40,7 +40,7 @@ def gcn_conv_apply(params, x, norm_index, norm_weight, n_nodes: int):
 
 def gcn_conv_apply_windowed(
     params, x, wsrc2d, wdstl2d, ww2d, chunk_window, n_windows: int,
-    window: int, n_nodes: int,
+    window: int, n_nodes: int, kernel_dtype: str = "float32",
 ):
     """Pallas windowed-scatter variant over data/packing.py:pad_windowed_edges
     buffers.  Requires the symmetric cached normalization (see
@@ -48,8 +48,11 @@ def gcn_conv_apply_windowed(
     from tip_tpu.ops.pallas_segment import gcn_spmm_padded
 
     h = params["weight"] if x is None else x @ params["weight"]
+    import jax.numpy as jnp
+
     out = gcn_spmm_padded(
-        h, wsrc2d, wdstl2d, ww2d, chunk_window, n_windows, window, n_nodes
+        h, wsrc2d, wdstl2d, ww2d, chunk_window, n_windows, window, n_nodes,
+        jnp.dtype(kernel_dtype),
     )
     if "bias" in params:
         out = out + params["bias"]

@@ -73,7 +73,7 @@ def rgcn_apply(params, x, src, dst, edge_type, degree, n_nodes: int, n_et: int):
 
 def rgcn_apply_padded(
     params, x, src2d, dst2d, chunk_type, degree, n_nodes: int, n_et: int,
-    backend: str = "xla", axis_name=None,
+    backend: str = "xla", axis_name=None, kernel_dtype: str = "float32",
 ):
     """Padded chunk-aligned variant (data/packing.py:pad_typed_edges).
 
@@ -91,7 +91,9 @@ def rgcn_apply_padded(
     if backend == "pallas":
         from tip_tpu.ops.pallas_segment import typed_neighbor_sum_padded
 
-        p = typed_neighbor_sum_padded(x, src2d, dst2d, chunk_type, n_et)
+        p = typed_neighbor_sum_padded(
+            x, src2d, dst2d, chunk_type, n_et, jnp.dtype(kernel_dtype)
+        )
     else:
         import jax.ops
 

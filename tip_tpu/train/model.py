@@ -40,7 +40,10 @@ from tip_tpu.nn import (
     nn_decoder_init,
 )
 from tip_tpu.nn.decoders import distmult_apply_padded, nn_decoder_apply_padded
-from tip_tpu.sampling import typed_negative_sampling
+from tip_tpu.sampling import (
+    typed_negative_sampling,
+    typed_negative_sampling_chunked,
+)
 
 EPS = 1e-13  # loss epsilon (reference: src/layers.py:15)
 
@@ -146,9 +149,11 @@ class TIP:
     def for_data(
         cfg: ModelConfig, data: TriGraphData, gs: GraphStatic, backend: str = "auto"
     ) -> "TIP":
-        if data.n_et * data.n_drug * data.n_drug >= 2**31:
+        from tip_tpu.sampling.negative import bitmap_stride_bits
+
+        if data.n_et * bitmap_stride_bits(data.n_drug) >= 2**31:
             raise ValueError(
-                "relation*node^2 key space exceeds int32; enable x64 keys"
+                "relation-strided key space exceeds int32; enable x64 keys"
             )
         return TIP(cfg=cfg, gs=gs, backend=resolve_backend(backend))
 
@@ -205,7 +210,7 @@ class TIP:
         if self.cfg.decoder == "distmult":
             return distmult_apply_padded(
                 params["decoder"], z, src2d, dst2d, chunk_type, sigmoid,
-                backend=self.backend,
+                backend=self.backend, kernel_dtype=self.cfg.kernel_dtype,
             )
         return nn_decoder_apply_padded(
             params["decoder"], z, src2d, dst2d, chunk_type, sigmoid
@@ -223,18 +228,17 @@ class TIP:
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         z = self.encode(params, graph, remat=remat, axis_name=axis_name)
-        shape2d = graph["dd_src2d"].shape
-        et_flat = jnp.repeat(graph["dd_chunk_type"], gs.dd_chunk)
-        neg_src, neg_dst = typed_negative_sampling(
-            key, et_flat, graph["dd_bitmap"], gs.n_drug
+        neg_src2d, neg_dst2d = typed_negative_sampling_chunked(
+            key, graph["dd_chunk_type"], graph["dd_bitmap"], gs.n_drug,
+            gs.n_et, gs.dd_chunk, backend=self.backend,
         )
         pos_logits = self.score_padded(
             params, z, graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"],
             sigmoid=False,
         )
         neg_logits = self.score_padded(
-            params, z, neg_src.reshape(shape2d), neg_dst.reshape(shape2d),
-            graph["dd_chunk_type"], sigmoid=False,
+            params, z, neg_src2d, neg_dst2d, graph["dd_chunk_type"],
+            sigmoid=False,
         )
         valid = graph["dd_valid"]
         # Stable logit-space BCE: -log(sigmoid(x)) = softplus(-x) and
