@@ -1,4 +1,9 @@
 from tip_tpu.data.decagon import DecagonRaw, load_decagon_raw
+from tip_tpu.data.drug_structure import (
+    calculate_drug_similarity,
+    dice_similarity_matrix,
+    morgan_fingerprint,
+)
 from tip_tpu.data.cache import cached_trigraph
 from tip_tpu.data.packing import (
     TypedEdges,
@@ -19,4 +24,7 @@ __all__ = [
     "build_trigraph",
     "synthetic_trigraph",
     "cached_trigraph",
+    "calculate_drug_similarity",
+    "dice_similarity_matrix",
+    "morgan_fingerprint",
 ]
