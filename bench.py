@@ -62,14 +62,14 @@ def main() -> None:
     for i in range(2):  # compile + warm
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, graph, k)
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: block_until_ready alone is unreliable on axon
 
     n_steps = 10
     t0 = time.time()
     for i in range(n_steps):
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, graph, k)
-    jax.block_until_ready(loss)
+    float(loss)  # forces the whole chained computation to completion
     dt = (time.time() - t0) / n_steps
 
     edges_per_s = gs.dd_n_valid / dt
