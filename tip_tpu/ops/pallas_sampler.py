@@ -15,15 +15,26 @@ dimension, so a direct [rows, 128] row-gather is unsupported):
 
   1. candidate pairs come from jax.random bits generated OUTSIDE the kernel
      (uniform over n^2 with negligible modulo bias n^2/2^32 < 1e-4);
-  2. bit address: word = pair >> 5 -> (row = word >> 7, lane = word & 127),
-     bit = pair & 31;
-  3. the bitmap is pre-split into 16-bit halves stored as float32
-     [rows, 256] (exact: < 2^24), so the ROW gather becomes a one-hot MXU
-     matmul  onehot(row) [C, rows] @ table [rows, 256];
-  4. the LANE and 16-bit-half selection is ONE VPU masked row-reduction
+  2. bit address: byte = pair >> 3 -> (row = byte >> 7, lane = byte & 127),
+     bit-in-byte = pair & 7;
+  3. the bitmap is pre-split into little-endian BYTE planes stacked along
+     rows, stored as f32 [4*word_rows, 128] (values < 2^8), so the MXU
+     does the whole byte gather as a one-hot matmul
+     onehot(row) [C, rows] @ table [rows, 128], and the remaining
+     per-candidate selection is only 128 lanes wide.  Operands are f32 (the
+     fast single-pass-bf16 MXU path; explicit bf16 inputs measured ~25x
+     slower under Mosaic) — exact BECAUSE entries are bytes: a 16-bit-half
+     table at this precision silently reads wrong bits;
+  4. the lane selection is ONE VPU masked row-reduction
      (dynamic_gather serializes; a multiply+reduce runs at vector ALU rate);
   5. rejected candidates fall through to the next round's draw (masked
-     select); survivors after the last round are accepted (density^rounds).
+     select).  After ``rounds`` full-width rounds, ``extra_rounds`` more run
+     UNDER ``@pl.when(any collision in chunk)`` — on Decagon only ~49% of
+     chunks are still dirty after 2 rounds, 8% after 3, so six total rounds
+     cost ~2.6 full-width equivalents.  Survivors of the last round are
+     accepted (probability density^rounds_total, < 4e-6 per edge of the
+     densest relation at 6 rounds; the reference's host loop is unbounded,
+     reference: src/neg_sampling.py:12-16).
 """
 
 from __future__ import annotations
@@ -38,10 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 from tip_tpu.sampling.negative import bitmap_stride_bits
 
 
-def _sampler_kernel(n_nodes, rounds, chunk_type_ref, bits_ref, tbl_ref, out_ref):
+def _sampler_kernel(n_nodes, rounds, extra_rounds, chunk_type_ref, bits_ref,
+                    tbl_ref, out_ref):
     c = out_ref.shape[2]
     rows = tbl_ref.shape[1]
-    tbl = tbl_ref[0]  # [rows, 256] f32: lanes 0..127 low half, 128..255 high
+    tbl = tbl_ref[0]  # [rows, 128] f32 holding BYTE values (exact in bf16)
 
     def draw(r):
         # 24-bit int32 randoms (prepared outside the kernel): uniform over
@@ -51,26 +63,22 @@ def _sampler_kernel(n_nodes, rounds, chunk_type_ref, bits_ref, tbl_ref, out_ref)
         u = bits_ref[0, 0, r * c:(r + 1) * c].astype(jnp.float32)
         pair = (u * jnp.float32((n_nodes * n_nodes) / (1 << 24))).astype(jnp.int32)
         pair = jnp.minimum(pair, n_nodes * n_nodes - 1)
-        word = pair >> 5
-        row = word >> 7
-        lane = word & 127
-        bit = pair & 31
-        # row gather as one-hot matmul (f32 halves are exact < 2^16)
+        byte_addr = pair >> 3
+        row = byte_addr >> 7
+        lane = byte_addr & 127
+        bit = pair & 7
+        # byte gather as one-hot matmul (bf16 bytes are exact < 2^8); byte
+        # planes are stacked along ROWS so the MXU does the whole gather and
+        # the VPU lane-select below stays 128 wide
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (c, rows), 1)
         oh = (row_ids == row[:, None]).astype(jnp.float32)
-        g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)  # [c, 256]
-        # lane + half select in one masked reduction (masks built in f32:
-        # Mosaic cannot insert dims on 1-bit bools)
+        g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)  # [c, 128]
+        # lane select in one masked reduction (masks built in f32: Mosaic
+        # cannot insert dims on 1-bit bools)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 1)
         at_lane = (lane_ids == lane[:, None]).astype(jnp.float32)
-        want_hi = (bit >= 16).astype(jnp.float32)[:, None]
-        m_lo = at_lane * (1.0 - want_hi)
-        m_hi = at_lane * want_hi
-        half = jnp.sum(
-            g[:, :128] * m_lo + g[:, 128:] * m_hi, axis=1
-        ).astype(jnp.int32)  # exact (< 2^16)
-        bexp = (bit & 15).astype(jnp.int32)
-        collides = ((half >> bexp) & 1) != 0
+        byte = jnp.sum(g * at_lane, axis=1).astype(jnp.int32)
+        collides = ((byte >> bit) & 1) != 0
         return pair, collides
 
     pair, collides = draw(0)
@@ -78,33 +86,62 @@ def _sampler_kernel(n_nodes, rounds, chunk_type_ref, bits_ref, tbl_ref, out_ref)
         new_pair, new_collides = draw(r)
         pair = jnp.where(collides, new_pair, pair)
         collides = jnp.logical_and(collides, new_collides)
-    out_ref[0, 0, :] = pair
+    # sign-flag survivors, then resolve them in extra rounds that whole
+    # clean chunks skip (out_ref doubles as the carry across @pl.when)
+    out_ref[0, 0, :] = jnp.where(collides, -pair - 1, pair)
+
+    if extra_rounds:
+        @pl.when(jnp.any(collides))
+        def _():
+            p = out_ref[0, 0, :]
+            col = p < 0
+            pr = jnp.where(col, -p - 1, p)
+            for r in range(rounds, rounds + extra_rounds):
+                new_pair, new_collides = draw(r)
+                pr = jnp.where(col, new_pair, pr)
+                col = jnp.logical_and(col, new_collides)
+            out_ref[0, 0, :] = pr  # survivors of the last round: accepted
 
 
 def typed_negative_sampling_padded(
-    key, chunk_type, bitmap, n_nodes: int, n_et: int, chunk: int, rounds: int = 4
+    key,
+    chunk_type,
+    bitmap,
+    n_nodes: int,
+    n_et: int,
+    chunk: int,
+    rounds: int = 2,
+    tail_rounds: int = 4,
 ):
     """Sample negatives for a chunk-aligned typed edge buffer, on-chip.
 
     key: jax.random key (candidate bits come from the jax stream).
     chunk_type: [n_chunks] relation per chunk (non-decreasing).
     bitmap: uint32 flat relation-strided bitmap (build_typed_bitmap).
+    rounds: unconditional full-width rounds; tail_rounds more run per chunk
+    only while the chunk still has collisions.
     Returns pair [n_chunks, chunk] int32 with pair = dst * n_nodes + src.
     """
     n_chunks = chunk_type.shape[0]
     stride_words = bitmap_stride_bits(n_nodes) // 32
-    rows = stride_words // 128
-    words = bitmap.reshape(n_et, rows, 128)
-    # 16-bit halves as exact float32, low half in lanes 0..127
-    tblf = jnp.concatenate(
-        [
-            (words & jnp.uint32(0xFFFF)).astype(jnp.float32),
-            (words >> 16).astype(jnp.float32),
-        ],
-        axis=2,
-    )  # [n_et, rows, 256]
+    rows = stride_words * 4 // 128  # one byte per entry
+    words = bitmap.reshape(n_et, stride_words)
+    # little-endian byte planes stacked along rows, stored as f32 BYTE
+    # values: the dot below runs at default (single-pass bf16) MXU precision,
+    # which is exact for 0..255 — full speed AND correct, where 16-bit table
+    # halves were silently truncated.  byte address b = pair >> 3 maps to
+    # (row = b >> 7, lane = b & 127).
+    tblb = (
+        jnp.stack(
+            [((words >> (8 * p)) & jnp.uint32(0xFF)) for p in range(4)],
+            axis=2,
+        )
+        .reshape(n_et, rows, 128)
+        .astype(jnp.float32)
+    )
+    total_rounds = rounds + tail_rounds
     bits = (
-        jax.random.bits(key, (n_chunks, 1, rounds * chunk), jnp.uint32) >> 8
+        jax.random.bits(key, (n_chunks, 1, total_rounds * chunk), jnp.uint32) >> 8
     ).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -112,11 +149,11 @@ def typed_negative_sampling_padded(
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, rounds * chunk), lambda i, ct: (i, 0, 0),
+                (1, 1, total_rounds * chunk), lambda i, ct: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, rows, 256), lambda i, ct: (ct[i], 0, 0),
+                (1, rows, 128), lambda i, ct: (ct[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -125,14 +162,14 @@ def typed_negative_sampling_padded(
         ),
     )
     out3d = pl.pallas_call(
-        functools.partial(_sampler_kernel, n_nodes, rounds),
+        functools.partial(_sampler_kernel, n_nodes, rounds, tail_rounds),
         out_shape=jax.ShapeDtypeStruct((n_chunks, 1, chunk), jnp.int32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_chunks * rounds * chunk * rows * 256,
-            bytes_accessed=n_et * stride_words * 8
-            + n_chunks * chunk * rounds * 4,
+            flops=2 * n_chunks * rounds * chunk * rows * 128,
+            bytes_accessed=n_et * rows * 128 * 4
+            + n_chunks * chunk * total_rounds * 4,
             transcendentals=0,
         ),
-    )(chunk_type, bits, tblf)
+    )(chunk_type, bits, tblb)
     return out3d.reshape(n_chunks, chunk)
