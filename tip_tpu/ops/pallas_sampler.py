@@ -13,8 +13,12 @@ is on-chip.
 Lookup path (Mosaic's dynamic_gather cannot cross vregs along the gather
 dimension, so a direct [rows, 128] row-gather is unsupported):
 
-  1. candidate pairs come from jax.random bits generated OUTSIDE the kernel
-     (uniform over n^2 with negligible modulo bias n^2/2^32 < 1e-4);
+  1. candidate bits come from the ON-CHIP hardware PRNG
+     (``pltpu.prng_seed`` / ``prng_random_bits``), seeded per chunk from a
+     scalar-prefetched step seed + the grid index.  Generating the bits
+     in-kernel replaces a [n_chunks, rounds*chunk] threefry draw that
+     measured ~200 ms/step and ~200 MB of HBM round-trip on the full
+     Decagon graph — the sampler's former dominant cost;
   2. bit address: byte = pair >> 3 -> (row = byte >> 7, lane = byte & 127),
      bit-in-byte = pair & 7;
   3. the bitmap is pre-split into little-endian BYTE planes stacked along
@@ -49,18 +53,29 @@ from jax.experimental.pallas import tpu as pltpu
 from tip_tpu.sampling.negative import bitmap_stride_bits
 
 
-def _sampler_kernel(n_nodes, rounds, extra_rounds, chunk_type_ref, bits_ref,
-                    tbl_ref, out_ref):
+def _sampler_kernel(n_nodes, rounds, extra_rounds, onchip, chunk_type_ref,
+                    rng_ref, tbl_ref, out_ref):
+    # ``rng_ref`` is the step seed (scalar, SMEM) when ``onchip`` — the
+    # hardware PRNG is seeded per chunk from it — or a pre-drawn
+    # [1, 1, total_rounds*chunk] bits block (VMEM) on backends without the
+    # in-kernel PRNG (CPU interpret mode stubs prng_random_bits to zeros).
+    if onchip:
+        pltpu.prng_seed(rng_ref[0], pl.program_id(0))
     c = out_ref.shape[2]
     rows = tbl_ref.shape[1]
     tbl = tbl_ref[0]  # [rows, 128] f32 holding BYTE values (exact in bf16)
 
     def draw(r):
-        # 24-bit int32 randoms (prepared outside the kernel): uniform over
-        # [0, n^2) WITHOUT vector integer division (the VPU has none; urem
-        # expands to a long emulation) — fixed-point scale, exact in f32,
-        # bias ~2^-24.
-        u = bits_ref[0, 0, r * c:(r + 1) * c].astype(jnp.float32)
+        # 24-bit randoms: uniform over [0, n^2) WITHOUT vector integer
+        # division (the VPU has none; urem expands to a long emulation) —
+        # fixed-point scale, exact in f32, bias ~2^-24.  On chip, ``r`` only
+        # distinguishes call sites; each call advances the seeded per-core
+        # PRNG stream.
+        if onchip:
+            raw = pltpu.prng_random_bits((1, c))  # int32
+            u = jax.lax.shift_right_logical(raw, 8).astype(jnp.float32)[0]
+        else:
+            u = rng_ref[0, 0, r * c:(r + 1) * c].astype(jnp.float32)
         pair = (u * jnp.float32((n_nodes * n_nodes) / (1 << 24))).astype(jnp.int32)
         pair = jnp.minimum(pair, n_nodes * n_nodes - 1)
         byte_addr = pair >> 3
@@ -112,14 +127,18 @@ def typed_negative_sampling_padded(
     chunk: int,
     rounds: int = 2,
     tail_rounds: int = 4,
+    onchip_prng: bool | None = None,
 ):
     """Sample negatives for a chunk-aligned typed edge buffer, on-chip.
 
-    key: jax.random key (candidate bits come from the jax stream).
+    key: jax.random key (seeds the hardware PRNG / the fallback jax stream).
     chunk_type: [n_chunks] relation per chunk (non-decreasing).
     bitmap: uint32 flat relation-strided bitmap (build_typed_bitmap).
     rounds: unconditional full-width rounds; tail_rounds more run per chunk
     only while the chunk still has collisions.
+    onchip_prng: draw candidate bits with the in-kernel hardware PRNG
+    (default on real TPU; CPU interpret mode stubs it to zeros, so the
+    fallback pre-draws bits with jax.random and streams them in).
     Returns pair [n_chunks, chunk] int32 with pair = dst * n_nodes + src.
     """
     n_chunks = chunk_type.shape[0]
@@ -140,36 +159,57 @@ def typed_negative_sampling_padded(
         .astype(jnp.float32)
     )
     total_rounds = rounds + tail_rounds
-    bits = (
-        jax.random.bits(key, (n_chunks, 1, total_rounds * chunk), jnp.uint32) >> 8
-    ).astype(jnp.int32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # chunk_type
-        grid=(n_chunks,),
-        in_specs=[
+    if onchip_prng is None:
+        onchip_prng = jax.default_backend() == "tpu"
+    if onchip_prng:
+        # One scalar step seed; the kernel folds in the grid index per chunk
+        # and draws all candidate bits from the on-chip hardware PRNG.
+        rng_arg = jax.lax.bitcast_convert_type(
+            jax.random.bits(key, (1,), jnp.uint32), jnp.int32
+        )
+        rng_prefetch = 1
+        rng_in_specs = []
+    else:
+        # Fallback for backends without the in-kernel PRNG (CPU interpret
+        # mode): pre-draw 24-bit candidates with the jax stream.
+        rng_arg = (
+            jax.random.bits(key, (n_chunks, 1, total_rounds * chunk), jnp.uint32)
+            >> 8
+        ).astype(jnp.int32)
+        rng_prefetch = 0
+        rng_in_specs = [
             pl.BlockSpec(
                 (1, 1, total_rounds * chunk), lambda i, ct: (i, 0, 0),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, rows, 128), lambda i, ct: (ct[i], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            )
+        ]
+
+    nsp = 1 + rng_prefetch
+    tbl_index = lambda i, *sp: (sp[0][i], 0, 0)
+    out_index = lambda i, *sp: (i, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=nsp,  # chunk_type (+ seed when onchip)
+        grid=(n_chunks,),
+        in_specs=rng_in_specs + [
+            pl.BlockSpec((1, rows, 128), tbl_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, chunk), out_index, memory_space=pltpu.VMEM
         ),
     )
+    kernel = functools.partial(
+        _sampler_kernel, n_nodes, rounds, tail_rounds, onchip_prng
+    )
+    # Operand order is (chunk_type, rng, tbl) in both modes: the seed rides
+    # as a second scalar-prefetch, the bits block as a leading VMEM input.
     out3d = pl.pallas_call(
-        functools.partial(_sampler_kernel, n_nodes, rounds, tail_rounds),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n_chunks, 1, chunk), jnp.int32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_chunks * rounds * chunk * rows * 128,
-            bytes_accessed=n_et * rows * 128 * 4
-            + n_chunks * chunk * total_rounds * 4,
+            bytes_accessed=n_et * rows * 128 * 4 + n_chunks * chunk * 4,
             transcendentals=0,
         ),
-    )(chunk_type, bits, tblb)
+    )(chunk_type, rng_arg, tblb)
     return out3d.reshape(n_chunks, chunk)
