@@ -41,7 +41,7 @@ def test_negative_distribution_covers_nodes():
     g = _graph()
     src, dst = typed_negative_sampling(
         jax.random.key(3), jnp.asarray(g.dd_train.edge_type),
-        jnp.asarray(g.dd_train_keys), g.n_drug,
+        jnp.asarray(g.dd_train_bitmap), g.n_drug,
     )
     # uniform corruption should touch most nodes on a graph this size
     assert len(np.unique(np.asarray(src))) > g.n_drug * 0.8

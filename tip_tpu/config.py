@@ -70,9 +70,7 @@ class TrainConfig:
     epochs: int = 100
     seed: int = 1111
     split_rate: float = 0.9  # train fraction of each relation's edges
-    eps: float = 1e-13  # loss epsilon (reference: src/layers.py:15)
     remat: bool = False  # jax.checkpoint the encoder to trade FLOPs for HBM
-    bf16_compute: bool = False  # run matmuls in bfloat16 (params stay fp32)
     log_every: int = 1
     eval_every: int = 0  # 0 = eval only at the end
     checkpoint_dir: Optional[str] = None

@@ -1,7 +1,7 @@
 """Model families of the TIP reference, TPU-native.
 
-  * :mod:`tip_tpu.models.tip` — full tri-graph TIP-cat / TIP-add
-    (re-export of tip_tpu.train.model; reference: src/layers.py:272-375).
+  * :class:`TIP` — full tri-graph TIP-cat / TIP-add
+    (canonical implementation: tip_tpu.train.model; reference: src/layers.py:272-375).
   * :mod:`tip_tpu.models.dd`  — D-D-only R-GCN with DistMult (DR-DF) or NN
     decoder (DR-NN) (reference: model/ddm-df_rgcn.py, model/ddm-nn.py).
   * :mod:`tip_tpu.models.pd`  — P-D-only hierarchy encoder + NN decoder

@@ -7,7 +7,7 @@ this through a concatenated [n_prot + n_drug] node tensor with zero rows
 for drugs and an index offset (reference: src/layers.py:526, prepare.py:43);
 here the bipartite structure is direct — src indexes proteins, dst indexes
 drugs — which removes the concat/slice entirely (same output, verified in
-tests/test_hierarchy.py).
+tests/test_layers.py).
 """
 
 from __future__ import annotations

@@ -19,7 +19,7 @@ but reorganized for the MXU:
    large, static matmuls that tile onto the systolic array.
 
 Numerically identical to the reference up to float reassociation
-(validated allclose against a numpy oracle in tests/test_rgcn.py).
+(validated allclose against a numpy oracle in tests/test_layers.py).
 """
 
 from __future__ import annotations

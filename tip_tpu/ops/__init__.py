@@ -5,8 +5,7 @@
 ``pallas`` — TPU Mosaic kernels that express gather+scatter as one-hot
              matmuls on the MXU over chunk-aligned, type-binned edge buffers.
 
-Use :func:`set_backend` / :func:`get_backend` to switch globally, or pass
-``backend=`` to individual ops.  This layer replaces what the reference gets
+Select per call with ``backend=``.  This layer replaces what the reference gets
 from torch-scatter / torch-sparse CUDA extensions (reference:
 environment_tip_gpu.yml:105-113, invoked via PyG MessagePassing at
 src/layers.py:42,123,202).
@@ -20,26 +19,10 @@ from tip_tpu.ops.segment import (
     distmult_score,
 )
 
-_BACKEND = "xla"
-
-
-def set_backend(name: str) -> None:
-    global _BACKEND
-    if name not in ("xla", "pallas"):
-        raise ValueError(f"unknown ops backend {name!r}")
-    _BACKEND = name
-
-
-def get_backend() -> str:
-    return _BACKEND
-
-
 __all__ = [
     "segment_sum_sorted",
     "weighted_gather_sum",
     "typed_neighbor_sum",
     "mean_from_sum",
     "distmult_score",
-    "set_backend",
-    "get_backend",
 ]
