@@ -21,6 +21,13 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=1111)
     parser.add_argument("--eval-every", type=int, default=0)
     parser.add_argument("--data-dir", default=None)
+    parser.add_argument(
+        "--et-band", default=None, metavar="LOW,HIGH",
+        help="train only relations with nnz in (LOW, HIGH) (cut_data analog)",
+    )
+    parser.add_argument("--mono", action="store_true",
+                        help="use [identity | mono] drug features "
+                             "(reference: model/ddm-*.py mono=True)")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
@@ -49,6 +56,13 @@ def main() -> None:
         data = build_trigraph(raw, seed=args.seed)
     else:
         kw = {"data_dir": args.data_dir} if args.data_dir else {}
+        if args.et_band:
+            from tip_tpu.data.decagon import et_list_by_nnz_band
+
+            low, high = (int(x) for x in args.et_band.split(","))
+            kw["et_list"] = et_list_by_nnz_band(low, high, **kw)
+        if args.mono:
+            kw["mono"] = True
         raw = load_decagon_raw(**kw)
         data = cached_trigraph(raw, seed=args.seed)
     model, graph, test = build_variant(

@@ -59,10 +59,15 @@ def make_dd_graph_arrays(data: TriGraphData, chunk: int = 512):
         "dd_deg": jnp.asarray(data.dd_train_deg),
         "dd_bitmap": jnp.asarray(data.dd_train_bitmap),
     }
+    if data.drug_feat is not None:
+        graph["drug_feat"] = jnp.asarray(data.drug_feat)
+    if data.d_norm is not None:
+        graph["d_norm"] = jnp.asarray(data.d_norm)
     gs = GraphStatic(
         n_drug=data.n_drug, n_prot=data.n_prot, n_et=data.n_et,
         dd_chunk=chunk, dd_n_chunks=n_chunks, dd_n_valid=padded.n_valid,
         pp_window=0, pp_n_windows=0,
+        drug_feat_dim=(0 if data.drug_feat is None else data.drug_feat.shape[1]),
     )
     return graph, gs
 
@@ -80,8 +85,11 @@ class DDModel:
     def init(self, key) -> dict:
         cfg, gs = self.cfg, self.gs
         k_e, k_r1, k_r2, k_d = jax.random.split(key, 4)
+        # With mono features the embedding projects [identity | mono] rows
+        # (reference: model/ddm-df_rgcn.py:41,51 — x @ embed with
+        # in_dim = n_drug + n_mono); identity features degenerate to a table.
         params = {
-            "embed": init.normal(k_e, (gs.n_drug, cfg.n_embed)),
+            "embed": init.normal(k_e, (gs.drug_feat_dim or gs.n_drug, cfg.n_embed)),
             "rgcn1": rgcn_init(
                 k_r1, cfg.n_embed, cfg.n_hid1, gs.n_et, cfg.num_base, after_relu=False
             ),
@@ -104,6 +112,10 @@ class DDModel:
             graph["dd_deg"],
         )
         x = params["embed"]
+        if "drug_feat" in graph:
+            x = graph["drug_feat"] @ x
+        if "d_norm" in graph:
+            x = x / graph["d_norm"][:, None]
         x = rgcn_apply_padded(
             params["rgcn1"], x, *dd, gs.n_drug, gs.n_et,
             backend=self.backend, axis_name=axis_name,

@@ -109,21 +109,38 @@ def fm_encoder_apply(
     """
     from tip_tpu.nn.rgcn import rgcn_apply_padded
 
-    # P-P net
-    if backend == "pallas":
-        hp = pp_encoder_apply_windowed(
-            params["pp"], x_prot, graph, gs, kernel_dtype=cfg.kernel_dtype
+    # P-P net + P->D hand-off (no zero-padding/offset dance — direct
+    # bipartite edges).
+    if axis_name is not None and gs.pp_ring_shards > 0:
+        # Protein-row ring decomposition: row-sharded GCN with ppermute
+        # exchange, partial P->D aggregation completed by one psum.
+        from tip_tpu.parallel.ring import (
+            ring_hierarchy_apply, ring_pp_encoder_apply,
+        )
+
+        if x_prot is not None:
+            raise NotImplementedError(
+                "ring P-P path supports identity protein features only"
+            )
+        hp_local = ring_pp_encoder_apply(params["pp"], graph, gs, axis_name)
+        hd = ring_hierarchy_apply(
+            params["hier"], hp_local, graph, graph["dp_deg"], gs.n_drug,
+            axis_name,
         )
     else:
-        hp = pp_encoder_apply(
-            params["pp"], x_prot, graph["pp_norm_index"], graph["pp_norm_weight"],
-            gs.n_prot,
+        if backend == "pallas":
+            hp = pp_encoder_apply_windowed(
+                params["pp"], x_prot, graph, gs, kernel_dtype=cfg.kernel_dtype
+            )
+        else:
+            hp = pp_encoder_apply(
+                params["pp"], x_prot, graph["pp_norm_index"],
+                graph["pp_norm_weight"], gs.n_prot,
+            )
+        hd = hierarchy_conv_apply(
+            params["hier"], hp, graph["dp_src"], graph["dp_dst"],
+            graph["dp_deg"], gs.n_drug,
         )
-    # P->D hand-off (no zero-padding/offset dance — direct bipartite edges).
-    hd = hierarchy_conv_apply(
-        params["hier"], hp, graph["dp_src"], graph["dp_dst"], graph["dp_deg"],
-        gs.n_drug,
-    )
     # Drug embedding; identity features => the table itself (see module doc).
     xd = params["embed"] if x_drug is None else x_drug @ params["embed"]
     if d_norm is not None:

@@ -34,8 +34,13 @@ from jax import shard_map
 from tip_tpu.parallel.mesh import EDGE_AXIS
 
 
-# Graph-dict keys sharded along the chunk axis; all others are replicated.
-_SHARDED_KEYS = ("dd_src2d", "dd_dst2d", "dd_chunk_type", "dd_valid")
+# Graph-dict keys sharded along their leading axis (D-D chunk axis for the
+# dd_* buffers, the protein-row shard axis for the ring ppr_*/dpr_* buffers
+# built by parallel/ring.py); all others are replicated.
+_SHARDED_KEYS = (
+    "dd_src2d", "dd_dst2d", "dd_chunk_type", "dd_valid",
+    "ppr_src", "ppr_dstl", "ppr_w", "dpr_srcl", "dpr_dst", "dpr_w",
+)
 
 
 def shard_graph(graph: dict, gs, n_devices: int):

@@ -61,6 +61,7 @@ class GraphStatic:
     pp_window: int
     pp_n_windows: int
     drug_feat_dim: int = 0  # 0 => identity drug features
+    pp_ring_shards: int = 0  # >0 => protein rows ring-sharded over the mesh
 
 
 def make_graph_arrays(
