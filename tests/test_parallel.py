@@ -191,6 +191,80 @@ def test_ring_training_step_runs(setup):
     assert losses[-1] < losses[0]
 
 
+def test_ep_sharding_matches_replicated(setup):
+    """EP relation-weight sharding: encode + eval == replicated layout."""
+    data, graph, gs, model = setup
+    import dataclasses
+    from tip_tpu.parallel import (
+        ep_param_specs, ep_params, ep_shard_graph, partition_relations,
+        unep_params,
+    )
+    from tip_tpu.parallel.mesh import EDGE_AXIS
+    from tip_tpu.parallel.sharded import graph_specs
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(8)
+    part = partition_relations(np.asarray(graph["dd_chunk_type"]), gs.n_et, 8)
+    egraph, egs = ep_shard_graph(graph, gs, part)
+    emodel = dataclasses.replace(model, gs=egs)
+    params = model.init(jax.random.key(11))
+    eparams = ep_params(params, part)
+    # roundtrip
+    back = unep_params(eparams, part)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # unsharded EP eval path (slot gather) == replicated encode
+    z_single = model.encode(params, graph)
+    z_ep = emodel.encode(eparams, egraph)
+    np.testing.assert_allclose(np.asarray(z_ep), np.asarray(z_single), atol=1e-5)
+
+    # sharded EP encode == replicated encode
+    egraph_p = place_graph(egraph, mesh)
+    z_sharded = jax.jit(
+        shard_map(
+            lambda p, g: emodel.encode(p, g, axis_name=EDGE_AXIS),
+            mesh=mesh,
+            in_specs=(ep_param_specs(eparams, EDGE_AXIS), graph_specs(egraph_p)),
+            out_specs=P(),
+        )
+    )(eparams, egraph_p)
+    np.testing.assert_allclose(
+        np.asarray(z_sharded), np.asarray(z_single), atol=1e-5
+    )
+
+
+def test_ep_training_step_runs(setup):
+    data, graph, gs, model = setup
+    import dataclasses
+    from tip_tpu.parallel import (
+        ep_param_specs, ep_params, ep_shard_graph, partition_relations,
+        place_params,
+    )
+    from tip_tpu.parallel.mesh import EDGE_AXIS
+
+    mesh = make_mesh(8)
+    part = partition_relations(np.asarray(graph["dd_chunk_type"]), gs.n_et, 8)
+    egraph, egs = ep_shard_graph(graph, gs, part)
+    emodel = dataclasses.replace(model, gs=egs)
+    eparams = ep_params(model.init(jax.random.key(12)), part)
+    specs = ep_param_specs(eparams, EDGE_AXIS)
+    eparams = place_params(eparams, mesh, specs)
+    egraph = place_graph(egraph, mesh)
+    opt = optax.adam(0.05)
+    opt_state = opt.init(eparams)
+    step = make_sharded_train_step(emodel, opt, mesh, param_specs=specs)
+    losses = []
+    key = jax.random.key(13)
+    for _ in range(10):
+        key, k = jax.random.split(key)
+        eparams, opt_state, loss = step(eparams, opt_state, egraph, k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_shard_graph_padding_is_inert(setup):
     data, graph, gs, model = setup
     sgraph, n_padded = shard_graph(graph, gs, 8)

@@ -1,0 +1,183 @@
+"""Relation-partitioned weight sharding (EP/TP-analog).
+
+The reference replicates every per-relation weight on its one device; at
+R = 1,097 that is small, but the framework treats R as a scaling axis
+(SURVEY.md section 2.4): relation-indexed parameters — R-GCN ``att [R, B]``
+and the DistMult decoder ``weight [R, d]`` — behave like experts, and the
+chunk-aligned D-D edge buffer is already relation-binned.  Here relations
+are partitioned across the mesh so that ALL chunks of one relation live on
+one device:
+
+  * each device holds only its relations' weight rows
+    (``att [n_dev, R_max, B]`` sharded on the leading axis);
+  * the R-GCN binning runs over LOCAL relation ids — the segment space per
+    device shrinks from R to R_max ~= R/n_dev, so the binned intermediate
+    and its einsums shrink with the mesh (this is where EP pays: memory and
+    FLOPs per chip scale down in R);
+  * gradients of relation rows never cross ICI — only the basis-mixed
+    [B, n_drug, d] psum already present in the DP path does;
+  * the unsharded eval path reconstructs the global weight row order with a
+    precomputed slot table (one gather).
+
+When it pays: R >> 1097 (the weights themselves are tiny here), or when the
+per-relation binned intermediate [R, n_drug, d] dominates HBM — at Decagon
+scale that is 1097*646*64*4B = 181 MB per layer, so R_max = R/8 saves
+~160 MB/chip on an 8-chip mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class RelationPartition:
+    """Host-side relation -> device assignment (greedy chunk balance)."""
+
+    dev_of_rel: np.ndarray  # [n_et] device owning each relation
+    local_id: np.ndarray  # [n_et] row within the device's weight shard
+    slot: np.ndarray  # [n_et] dev * r_max + local_id (global gather table)
+    r_max: int  # weight rows per device (padded)
+    n_dev: int
+
+
+def partition_relations(chunk_type: np.ndarray, n_et: int, n_dev: int) -> RelationPartition:
+    """Greedy longest-processing-time assignment of relations to devices,
+    balancing per-device chunk counts (chunks are uniform-size units of
+    edge work)."""
+    chunk_type = np.asarray(chunk_type)
+    counts = np.bincount(chunk_type, minlength=n_et)
+    order = np.argsort(-counts, kind="stable")
+    load = np.zeros(n_dev, np.int64)
+    nrel = np.zeros(n_dev, np.int32)
+    dev_of_rel = np.zeros(n_et, np.int32)
+    local_id = np.zeros(n_et, np.int32)
+    for t in order:
+        d = int(np.argmin(load))
+        dev_of_rel[t] = d
+        local_id[t] = nrel[d]
+        nrel[d] += 1
+        load[d] += counts[t]
+    r_max = int(nrel.max())
+    slot = dev_of_rel.astype(np.int64) * r_max + local_id
+    return RelationPartition(
+        dev_of_rel=dev_of_rel, local_id=local_id, slot=slot,
+        r_max=r_max, n_dev=n_dev,
+    )
+
+
+def ep_shard_graph(graph: dict, gs, part: RelationPartition):
+    """Reorder the chunk axis device-major by relation owner and pad each
+    device's segment to a common length with inert chunks (dst = n_drug,
+    valid = 0 — zero contribution to binning and loss).
+
+    Adds ``dd_chunk_type_local`` (relation row within the owning device's
+    shard) and ``ep_slot`` (global -> flattened shard row, for the unsharded
+    eval path).  ``dd_chunk_type`` stays GLOBAL — the negative-sampling
+    bitmap is keyed by global relation id.
+
+    Returns (graph', gs') with gs'.dd_n_chunks updated and gs'.ep_r_max set.
+    """
+    import dataclasses
+
+    chunk_type = np.asarray(graph["dd_chunk_type"])
+    n_chunks = chunk_type.shape[0]
+    chunk = graph["dd_src2d"].shape[1]
+    dev = part.dev_of_rel[chunk_type]
+    order = np.argsort(dev, kind="stable")
+    per_dev = np.bincount(dev, minlength=part.n_dev)
+    seg = int(per_dev.max())
+    idx = np.full((part.n_dev, seg), -1, np.int64)  # -1 => inert pad chunk
+    offs = np.concatenate([[0], np.cumsum(per_dev)])
+    for d in range(part.n_dev):
+        idx[d, : per_dev[d]] = order[offs[d]: offs[d + 1]]
+    flat = idx.reshape(-1)
+    real = flat >= 0
+    take = np.where(real, flat, 0)
+
+    def reorder(x, fill):
+        x = np.asarray(x)
+        out = x[take]
+        out[~real] = fill
+        return out
+
+    g = dict(graph)
+    g["dd_src2d"] = jnp.asarray(reorder(graph["dd_src2d"], 0))
+    g["dd_dst2d"] = jnp.asarray(reorder(graph["dd_dst2d"], gs.n_drug))
+    g["dd_chunk_type"] = jnp.asarray(reorder(chunk_type, gs.n_et - 1))
+    local = part.local_id[chunk_type]
+    g["dd_chunk_type_local"] = jnp.asarray(reorder(local, 0))
+    valid2d = np.asarray(graph["dd_valid"]).reshape(n_chunks, chunk)
+    g["dd_valid"] = jnp.asarray(reorder(valid2d, 0.0).reshape(-1))
+    g["ep_slot"] = jnp.asarray(part.slot, jnp.int32)
+    gs2 = dataclasses.replace(
+        gs, dd_n_chunks=part.n_dev * seg, ep_r_max=part.r_max
+    )
+    return g, gs2
+
+
+def _scatter_rows(full: np.ndarray, part: RelationPartition) -> np.ndarray:
+    """[n_et, ...] -> [n_dev, r_max, ...] by owner/local-row."""
+    out = np.zeros((part.n_dev, part.r_max) + full.shape[1:], full.dtype)
+    out[part.dev_of_rel, part.local_id] = full
+    return out
+
+
+def ep_params(params: dict, part: RelationPartition) -> dict:
+    """Re-lay relation-indexed parameter rows into per-device shards.
+
+    att [n_et, B] -> [n_dev, r_max, B]; decoder weight [n_et, d] ->
+    [n_dev, r_max, d].  Shard these leaves with PartitionSpec(EDGE_AXIS) —
+    see :func:`ep_param_specs`.
+    """
+    import jax
+
+    p = jax.tree.map(np.asarray, params)
+    enc = dict(p["encoder"])
+    for name in ("rgcn1", "rgcn2"):
+        layer = dict(enc[name])
+        layer["att"] = _scatter_rows(layer["att"], part)
+        enc[name] = layer
+    out = dict(p)
+    out["encoder"] = enc
+    dec = dict(p["decoder"])
+    if "weight" not in dec:
+        raise NotImplementedError("EP sharding supports the DistMult decoder")
+    dec["weight"] = _scatter_rows(dec["weight"], part)
+    out["decoder"] = dec
+    return jax.tree.map(jnp.asarray, out)
+
+
+def unep_params(params: dict, part: RelationPartition) -> dict:
+    """Inverse of :func:`ep_params` (for checkpoints / analysis)."""
+    import jax
+
+    p = jax.tree.map(np.asarray, params)
+    enc = dict(p["encoder"])
+    for name in ("rgcn1", "rgcn2"):
+        layer = dict(enc[name])
+        layer["att"] = layer["att"][part.dev_of_rel, part.local_id]
+        enc[name] = layer
+    dec = dict(p["decoder"])
+    dec["weight"] = dec["weight"][part.dev_of_rel, part.local_id]
+    out = dict(p)
+    out["encoder"], out["decoder"] = enc, dec
+    return jax.tree.map(jnp.asarray, out)
+
+
+def ep_param_specs(params: dict, axis: str):
+    """PartitionSpec pytree: relation-sharded leaves on ``axis``, rest
+    replicated."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    def spec(path, _):
+        keys = tuple(getattr(k, "key", None) for k in path)
+        if keys[-1] == "att" or (keys[0] == "decoder" and keys[-1] == "weight"):
+            return P(axis)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)

@@ -166,10 +166,11 @@ def ring_spmm(h_own, src_l, dst_l, w, n_local: int, axis_name: str):
         h = jax.lax.ppermute(h, axis_name, perm=_ring_perm(k))
         return (out, h), None
 
-    # pvary: the accumulator is device-varying from step 0 so the scan carry
+    # The accumulator must be device-varying from step 0 so the scan carry
     # type stays stable under shard_map's varying-axis checking.
-    out0 = jax.lax.pvary(
-        jnp.zeros((n_local, h_own.shape[1]), h_own.dtype), axis_name
+    out0 = jax.lax.pcast(
+        jnp.zeros((n_local, h_own.shape[1]), h_own.dtype), axis_name,
+        to="varying",
     )
     (out, _), _ = jax.lax.scan(body, (out0, h_own), (src_l, dst_l, w))
     return out

@@ -38,7 +38,7 @@ from tip_tpu.parallel.mesh import EDGE_AXIS
 # dd_* buffers, the protein-row shard axis for the ring ppr_*/dpr_* buffers
 # built by parallel/ring.py); all others are replicated.
 _SHARDED_KEYS = (
-    "dd_src2d", "dd_dst2d", "dd_chunk_type", "dd_valid",
+    "dd_src2d", "dd_dst2d", "dd_chunk_type", "dd_chunk_type_local", "dd_valid",
     "ppr_src", "ppr_dstl", "ppr_w", "dpr_srcl", "dpr_dst", "dpr_w",
 )
 
@@ -88,12 +88,19 @@ def place_graph(graph: dict, mesh):
     }
 
 
-def make_sharded_train_step(model, opt, mesh, remat: bool = False):
+def make_sharded_train_step(model, opt, mesh, remat: bool = False,
+                            param_specs=None):
     """Jitted (params, opt_state, graph, key) -> (params', opt_state', loss).
 
     ``graph`` must be pre-padded with :func:`shard_graph`.  The valid mask is
     sharded as [n_chunks * chunk] flat — shard_map splits it evenly, which
     coincides with the chunk split because chunk counts divide evenly.
+
+    ``param_specs``: optional PartitionSpec pytree matching ``params`` for
+    EP-sharded relation weights (parallel/ep.py:ep_param_specs); gradients
+    of sharded leaves stay device-local, and the elementwise Adam update
+    runs on the sharded layout without communication.  None = all params
+    replicated.
     """
 
     def local_grads(params, graph, key):
@@ -102,13 +109,15 @@ def make_sharded_train_step(model, opt, mesh, remat: bool = False):
         )(params)
         return loss, grads
 
+    p_specs = P() if param_specs is None else param_specs
+
     def step(params, opt_state, graph, key):
         specs = graph_specs(graph)
         loss, grads = shard_map(
             local_grads,
             mesh=mesh,
-            in_specs=(P(), specs, P()),
-            out_specs=(P(), P()),
+            in_specs=(p_specs, specs, P()),
+            out_specs=(P(), p_specs),
         )(params, graph, key)
         import optax
 
@@ -116,3 +125,11 @@ def make_sharded_train_step(model, opt, mesh, remat: bool = False):
         return optax.apply_updates(params, updates), opt_state, loss
 
     return jax.jit(step)
+
+
+def place_params(params, mesh, param_specs):
+    """Device_put a params pytree with per-leaf PartitionSpecs."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, param_specs,
+    )

@@ -62,6 +62,7 @@ class GraphStatic:
     pp_n_windows: int
     drug_feat_dim: int = 0  # 0 => identity drug features
     pp_ring_shards: int = 0  # >0 => protein rows ring-sharded over the mesh
+    ep_r_max: int = 0  # >0 => relation weights EP-sharded (parallel/ep.py)
 
 
 def make_graph_arrays(
@@ -187,19 +188,55 @@ class TIP:
 
     # -- forward ------------------------------------------------------------
 
+    def _ep_encoder_view(self, enc_params, graph, axis_name):
+        """Resolve EP-sharded R-GCN ``att`` leaves into the layout
+        fm_encoder_apply expects (parallel/ep.py).
+
+        Under shard_map each device's view of att is [1, r_max, B]: squeeze
+        it and bin by LOCAL relation id over a shrunken [r_max] segment
+        space.  Unsharded (eval), gather the global row order back through
+        the precomputed slot table."""
+        import dataclasses
+
+        gs = self.gs
+        if axis_name is not None:
+            fix = lambda att: att[0]
+            graph = dict(graph, dd_chunk_type=graph["dd_chunk_type_local"])
+            gs = dataclasses.replace(gs, n_et=gs.ep_r_max)
+        else:
+            slot = graph["ep_slot"]
+            fix = lambda att: att.reshape(-1, att.shape[-1])[slot]
+        out = dict(enc_params)
+        for name in ("rgcn1", "rgcn2"):
+            out[name] = dict(enc_params[name], att=fix(enc_params[name]["att"]))
+        return out, graph, gs
+
+    def _ep_decoder_view(self, dec_params, graph, axis_name):
+        """Same resolution for the relation-row decoder weight."""
+        w = dec_params["weight"]
+        if axis_name is not None:
+            return dict(dec_params, weight=w[0])
+        return dict(dec_params, weight=w.reshape(-1, w.shape[-1])[graph["ep_slot"]])
+
     def encode(self, params, graph, remat: bool = False, axis_name=None):
         """Drug embeddings z [n_drug, n_hid2] from the training graph.
 
         Under shard_map (``axis_name`` set) the D-D chunk axis of ``graph``
         is device-local and the R-GCN layers psum their basis-mixed
         intermediates (see nn/rgcn.py)."""
+        enc_params = params["encoder"]
+        gs = self.gs
+        if gs.ep_r_max:
+            enc_params, graph, gs = self._ep_encoder_view(
+                enc_params, graph, axis_name
+            )
         enc = lambda p: fm_encoder_apply(
-            p, graph, self.cfg, self.gs, backend=self.backend, axis_name=axis_name,
+            p, graph, self.cfg, gs, backend=self.backend, axis_name=axis_name,
             x_drug=graph.get("drug_feat"), d_norm=graph.get("d_norm"),
         )
         if remat:
             enc = jax.checkpoint(enc)
-        return enc(params["encoder"])
+        return enc(enc_params)
 
     def score(self, params, z, src, dst, et, sigmoid: bool = True):
         """Score arbitrary (src, dst, relation) triples (flat layout)."""
@@ -229,16 +266,26 @@ class TIP:
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         z = self.encode(params, graph, remat=remat, axis_name=axis_name)
+        # Sampling is keyed by GLOBAL relation id (the bitmap layout) even
+        # when the decoder/encoder run on EP-local relation rows.
         neg_src2d, neg_dst2d = typed_negative_sampling_chunked(
             key, graph["dd_chunk_type"], graph["dd_bitmap"], gs.n_drug,
             gs.n_et, gs.dd_chunk, backend=self.backend,
         )
+        dec_params, score_type = params, graph["dd_chunk_type"]
+        if gs.ep_r_max:
+            dec_params = dict(
+                params,
+                decoder=self._ep_decoder_view(params["decoder"], graph, axis_name),
+            )
+            if axis_name is not None:
+                score_type = graph["dd_chunk_type_local"]
         pos_logits = self.score_padded(
-            params, z, graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"],
+            dec_params, z, graph["dd_src2d"], graph["dd_dst2d"], score_type,
             sigmoid=False,
         )
         neg_logits = self.score_padded(
-            params, z, neg_src2d, neg_dst2d, graph["dd_chunk_type"],
+            dec_params, z, neg_src2d, neg_dst2d, score_type,
             sigmoid=False,
         )
         valid = graph["dd_valid"]
@@ -270,6 +317,11 @@ class TIP:
         Transductive setting: the encoder runs on the TRAIN graph and test
         edges are only scored (reference: src/layers.py:347-353)."""
         z = self.encode(params, graph)
+        if self.gs.ep_r_max:
+            params = dict(
+                params,
+                decoder=self._ep_decoder_view(params["decoder"], graph, None),
+            )
         pos = self.score(params, z, test["src"], test["dst"], test["et"])
         neg = self.score(params, z, test_neg["src"], test_neg["dst"], test["et"])
         per_rel = grouped_ranking_metrics(pos, neg, test["et"], self.gs.n_et)
