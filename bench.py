@@ -1,53 +1,74 @@
 """Benchmark: full TIP-cat training-step throughput on the real Decagon graph.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N, ...}
 
 Metric: directed D-D training edges processed per second per chip by a full
 jitted training step (encoder fwd + decoder on positives AND fresh sampled
 negatives + backward + Adam update) at the reference's default configuration
 (TIP-cat, 1,097 relations, ~8.33M directed train edges — reference: tip.py).
+Both Pallas kernel precisions are measured; the headline value is float32
+(the accuracy-validated default — see RESULTS.md), bf16 is reported
+alongside.
 
-``vs_baseline``: the reference publishes no throughput (BASELINE.md). The
-anchor used here is a DELIBERATELY GENEROUS estimate of the single-GPU
-reference: 1.0 s/epoch => 8.33e6 edges/s (the reference's per-step Python
-loop over 1,097 relations x 2 layers x fwd+bwd alone implies several
-thousand sequential CUDA launches; published-era GPUs ran multi-second
-epochs).  vs_baseline = ours / 8.33e6.
+Baselines (extra JSON keys, honest about provenance):
+  * ``vs_baseline``     — ours / 8.33e6 edges/s, a deliberately GENEROUS
+    ESTIMATE of the single-GPU reference (1.0 s/epoch; its per-step Python
+    loop over 1,097 relations x 2 layers x fwd+bwd implies thousands of
+    sequential CUDA launches).  The reference publishes no throughput
+    (BASELINE.md), so this anchor is an estimate, marked as such.
+  * ``vs_torch_cpu``    — ours / a MEASURED torch-CPU run of the reference
+    algorithm on this machine (scripts/torch_oracle_tip.py, same packed
+    graph; see runs/torch_oracle_cat.json).
+  * ``achieved_tflops`` / ``mxu_util_est`` — executed one-hot-matmul FLOPs
+    per step divided by wall time, and that rate against the v5e MXU peak
+    for the measured precision (197 TFLOP/s bf16; f32 inputs decompose on
+    the MXU, conservatively 1/4 rate) — the roofline context the raw
+    edges/s number lacks.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 
-REFERENCE_EDGES_PER_S = 8.33e6  # generous single-GPU reference anchor (see above)
+REFERENCE_EDGES_PER_S = 8.33e6  # generous single-GPU reference ESTIMATE
+TORCH_CPU_SEC_PER_STEP = 25.0  # measured: scripts/torch_oracle_tip.py on this
+# host (2-vCPU, epochs 40-99 steady state 18-35 s; runs/torch_oracle_cat.json)
+V5E_PEAK_BF16 = 197e12
+V5E_PEAK_F32 = V5E_PEAK_BF16 / 4
 
 
-def main() -> None:
+def _step_mxu_flops(gs, cfg) -> float:
+    """One-hot matmul FLOPs executed per training step (fwd + bwd).
+
+    Counts the Pallas kernels' dense matmul work (ops/pallas_segment.py):
+    R-GCN gather+scatter per chunk is 2 matmuls of [C,N]x[N,D] (4*C*N*D
+    flops), the dx backward the same again; the decoder fwd runs 2 gathers
+    at [D,N]x[N,C] per chunk for pos and neg, its backward ~2x fwd.  The
+    basis einsums, P-P SpMM and sampler are <5% combined and are ignored.
+    """
+    c, n, k = gs.dd_chunk, gs.n_drug, gs.dd_n_chunks
+    tns = lambda d: 4.0 * c * n * d * k  # gather+scatter, one layer, fwd
+    rgcn_fwd = tns(cfg.rgcn_in_dim) + tns(cfg.n_hid1)
+    rgcn_bwd = rgcn_fwd
+    dec_fwd = 2 * (4.0 * c * n * cfg.n_hid2) * k  # pos + neg
+    dec_bwd = 2 * dec_fwd
+    return rgcn_fwd + rgcn_bwd + dec_fwd + dec_bwd
+
+
+def _bench_one(data, kernel_dtype: str, n_steps: int = 10):
     import optax
 
-    from tip_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
-    from tip_tpu.config import ModelConfig, TrainConfig
-    from tip_tpu.data import (
-        build_trigraph, cached_trigraph, load_decagon_raw, synthetic_trigraph,
-    )
-    from tip_tpu.data.decagon import has_reference_data
+    from tip_tpu.config import ModelConfig
     from tip_tpu.train.model import TIP, make_graph_arrays
 
-    if has_reference_data():
-        raw = load_decagon_raw()
-        data = cached_trigraph(raw, split_rate=0.9, seed=1111)
-    else:  # no dataset on this machine — bench a synthetic graph of same scale
-        raw = synthetic_trigraph(n_drug=645, n_prot=19081, n_et=1097,
-                                 pairs_per_et=4200, seed=0)
-        data = build_trigraph(raw, split_rate=0.9, seed=1111)
     graph, gs = make_graph_arrays(data)
-    model = TIP.for_data(ModelConfig.tip_cat(), data, gs, backend="auto")
+    cfg = ModelConfig.tip_cat(kernel_dtype=kernel_dtype)
+    model = TIP.for_data(cfg, data, gs, backend="auto")
     params = model.init(jax.random.key(0))
     opt = optax.adam(0.01)
     opt_state = opt.init(params)
@@ -59,27 +80,64 @@ def main() -> None:
         return optax.apply_updates(params, updates), opt_state, loss
 
     key = jax.random.key(1)
-    for i in range(2):  # compile + warm
+    for _ in range(3):  # compile + warm
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, graph, k)
     float(loss)  # value fetch: block_until_ready alone is unreliable on axon
 
-    n_steps = 10
     t0 = time.time()
-    for i in range(n_steps):
+    for _ in range(n_steps):
         key, k = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, graph, k)
     float(loss)  # forces the whole chained computation to completion
     dt = (time.time() - t0) / n_steps
+    return dt, gs, cfg
 
-    edges_per_s = gs.dd_n_valid / dt
+
+def main() -> None:
+    from tip_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    from tip_tpu.data import (
+        build_trigraph, cached_trigraph, load_decagon_raw, synthetic_trigraph,
+    )
+    from tip_tpu.data.decagon import has_reference_data
+
+    if has_reference_data():
+        raw = load_decagon_raw()
+        data = cached_trigraph(raw, split_rate=0.9, seed=1111)
+    else:  # no dataset on this machine — bench a synthetic graph of same scale
+        raw = synthetic_trigraph(n_drug=645, n_prot=19081, n_et=1097,
+                                 pairs_per_et=4200, seed=0)
+        data = build_trigraph(raw, split_rate=0.9, seed=1111)
+
+    results = {}
+    for dtype in ("float32", "bfloat16"):
+        dt, gs, cfg = _bench_one(data, dtype)
+        flops = _step_mxu_flops(gs, cfg)
+        peak = V5E_PEAK_F32 if dtype == "float32" else V5E_PEAK_BF16
+        results[dtype] = {
+            "sec_per_step": round(dt, 4),
+            "edges_per_s": round(gs.dd_n_valid / dt, 1),
+            "achieved_tflops": round(flops / dt / 1e12, 2),
+            "mxu_util_est": round(flops / dt / peak, 3),
+        }
+        print(f"[bench] {dtype}: {results[dtype]}", file=sys.stderr)
+
+    headline = results["float32"]["edges_per_s"]
+    torch_cpu_edges_per_s = gs.dd_n_valid / TORCH_CPU_SEC_PER_STEP
     print(
         json.dumps(
             {
-                "metric": "TIP-cat full-train-step throughput (directed D-D train edges/s/chip, 1097 relations)",
-                "value": round(edges_per_s, 1),
+                "metric": "TIP-cat full-train-step throughput (directed D-D "
+                          "train edges/s/chip, 1097 relations, float32)",
+                "value": headline,
                 "unit": "edges/s",
-                "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 3),
+                "vs_baseline": round(headline / REFERENCE_EDGES_PER_S, 3),
+                "baseline_kind": "estimate (reference publishes no throughput)",
+                "vs_torch_cpu_measured": round(headline / torch_cpu_edges_per_s, 1),
+                "float32": results["float32"],
+                "bfloat16": results["bfloat16"],
             }
         )
     )

@@ -182,3 +182,47 @@ def test_typed_neighbor_sum_padded_grad_matches_xla(packed):
     with pltpu.force_tpu_interpret_mode():
         g_got = jax.grad(loss_pallas)(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-4)
+
+
+def test_nn_decoder_padded_matches_xla(packed):
+    """Fused NN-decoder kernel: fwd + grads == the XLA gather path (on the
+    valid mask; padding rows differ by convention and are always masked)."""
+    from tip_tpu.nn.decoders import nn_decoder_init, nn_decoder_apply_padded
+
+    raw, edges, padded = packed
+    n, hid, l1 = raw.n_drug, 6, 8
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.normal(size=(n, hid)), jnp.float32)
+    params = nn_decoder_init(jax.random.key(5), hid, edges.n_et, l1)
+    src2d, dst2d, ct = _padded_2d(padded)
+    valid = jnp.asarray(padded.valid.astype("float32"))
+
+    def masked_sum(backend):
+        def fn(params, z):
+            logits = nn_decoder_apply_padded(
+                params, z, src2d, dst2d, ct, sigmoid=False, backend=backend
+            )
+            return jnp.sum(jax.nn.softplus(logits) * valid), logits
+        return fn
+
+    (s_xla, l_xla), g_xla = jax.value_and_grad(
+        masked_sum("xla"), argnums=(0, 1), has_aux=True
+    )(params, z)
+    import jax.experimental.pallas.tpu as _  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        (s_pal, l_pal), g_pal = jax.value_and_grad(
+            masked_sum("pallas"), argnums=(0, 1), has_aux=True
+        )(params, z)
+    mask = np.asarray(valid) > 0
+    np.testing.assert_allclose(
+        np.asarray(l_pal)[mask], np.asarray(l_xla)[mask], atol=1e-5
+    )
+    np.testing.assert_allclose(float(s_pal), float(s_xla), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4
+        ),
+        g_pal, g_xla,
+    )

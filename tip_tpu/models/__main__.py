@@ -28,6 +28,13 @@ def main() -> None:
     parser.add_argument("--mono", action="store_true",
                         help="use [identity | mono] drug features "
                              "(reference: model/ddm-*.py mono=True)")
+    parser.add_argument(
+        "--feat-norm", choices=["ones", "sqrt"], default="ones",
+        help="drug-feature row normalization: 'ones' is the reference's "
+             "active line (x_norm = ones, model/ddm-df_rgcn.py:28), which "
+             "DIVERGES with mono features (epoch-0 loss ~15 -> dead ReLUs); "
+             "'sqrt' is its commented alternative (line 29) that trains",
+    )
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
@@ -65,6 +72,14 @@ def main() -> None:
             kw["mono"] = True
         raw = load_decagon_raw(**kw)
         data = cached_trigraph(raw, seed=args.seed)
+    if args.feat_norm == "sqrt" and data.drug_feat is not None:
+        import dataclasses
+
+        import numpy as np
+
+        data = dataclasses.replace(
+            data, d_norm=np.sqrt(data.drug_feat.sum(axis=1)).astype(np.float32)
+        )
     model, graph, test = build_variant(
         args.variant, data, backend=args.backend, kernel_dtype=args.kernel_dtype
     )

@@ -141,7 +141,8 @@ class DDModel:
                 backend=self.backend, kernel_dtype=self.cfg.kernel_dtype,
             )
         return nn_decoder_apply_padded(
-            params["decoder"], z, src2d, dst2d, chunk_type, sigmoid
+            params["decoder"], z, src2d, dst2d, chunk_type, sigmoid,
+            backend=self.backend, kernel_dtype=self.cfg.kernel_dtype,
         )
 
     def loss(self, params, graph, key, axis_name=None):

@@ -50,13 +50,38 @@ def distmult_apply_padded(
     return jax.nn.sigmoid(logits) if sigmoid else logits
 
 
-def nn_decoder_apply_padded(params, z, src2d, dst2d, chunk_type, sigmoid: bool = True):
-    """Chunk-aligned NN decoder (XLA path; padding clamped, caller masks)."""
-    chunk = src2d.shape[1]
-    src = src2d.reshape(-1)
-    dst = jnp.minimum(dst2d.reshape(-1), z.shape[0] - 1)
-    et = jnp.repeat(chunk_type, chunk)
-    return nn_decoder_apply(params, z, src, dst, et, sigmoid=sigmoid)
+def nn_decoder_apply_padded(
+    params, z, src2d, dst2d, chunk_type, sigmoid: bool = True,
+    backend: str = "xla", kernel_dtype: str = "float32",
+):
+    """Chunk-aligned NN decoder; padding rows are garbage, caller masks.
+
+    'pallas' fuses the per-edge gather-mul-reduce of both endpoint terms
+    into one SDDMM kernel over the [n_drug, l1] L1 tables — the [E, l1]
+    gather intermediates of the XLA path never exist
+    (ops/pallas_segment.py:nn_logits_padded; reference decoder:
+    src/layers.py:620-631).
+    """
+    h1 = jax.nn.relu(z @ params["w1_l1"])
+    h2 = jax.nn.relu(z @ params["w2_l1"])
+    if backend == "pallas":
+        from tip_tpu.ops.pallas_segment import nn_logits_padded
+
+        logits = nn_logits_padded(
+            h1, h2, params["w1_l2"], params["w2_l2"], src2d, dst2d, chunk_type,
+            jnp.dtype(kernel_dtype),
+        ).reshape(-1)
+    else:
+        # dense (node, relation) score tables + scalar gathers — see
+        # nn_decoder_apply for why the per-edge [E, l1] form is avoided
+        chunk = src2d.shape[1]
+        src = src2d.reshape(-1)
+        dst = jnp.minimum(dst2d.reshape(-1), z.shape[0] - 1)
+        et = jnp.repeat(chunk_type, chunk)
+        s1 = h1 @ params["w1_l2"].T
+        s2 = h2 @ params["w2_l2"].T
+        logits = s1[src, et] + s2[dst, et]
+    return jax.nn.sigmoid(logits) if sigmoid else logits
 
 
 def nn_decoder_init(key, in_dim: int, n_et: int, l1_dim: int = 16):
@@ -74,14 +99,16 @@ def nn_decoder_init(key, in_dim: int, n_et: int, l1_dim: int = 16):
 def nn_decoder_apply(params, z, src, dst, edge_type, sigmoid: bool = True):
     """Shared L1 per endpoint, per-relation L2 row (reference: src/layers.py:620-631).
 
-    TPU shaping: the L1 projections are computed ONCE on the [n_drug, l1]
-    node table and gathered per edge, instead of projecting every edge
-    endpoint (the reference projects the gathered [E, in_dim] tensor).
-    Same math — relu and the per-relation reduction commute with the gather.
+    TPU shaping: the per-relation reduction is precomputed as a DENSE
+    (node, relation) score table s1 = relu(z W1) @ w1^T — a [n_drug, n_et]
+    matmul on the MXU — and each edge gathers one SCALAR s1[src, et].
+    Same math; the naive per-edge form gathers [E, l1] tensors, which TPU
+    lane-padding inflates 16x (observed 3.97 GB per gather at Decagon
+    scale — an instant OOM in the PR-HMP-NN train step).
     """
     h1 = jax.nn.relu(z @ params["w1_l1"])
     h2 = jax.nn.relu(z @ params["w2_l1"])
-    d1 = jnp.sum(h1[src] * params["w1_l2"][edge_type], axis=-1)
-    d2 = jnp.sum(h2[dst] * params["w2_l2"][edge_type], axis=-1)
-    logits = d1 + d2
+    s1 = h1 @ params["w1_l2"].T  # [n_nodes, n_et]
+    s2 = h2 @ params["w2_l2"].T
+    logits = s1[src, edge_type] + s2[dst, edge_type]
     return jax.nn.sigmoid(logits) if sigmoid else logits

@@ -122,7 +122,9 @@ def fm_encoder_apply(
             raise NotImplementedError(
                 "ring P-P path supports identity protein features only"
             )
-        hp_local = ring_pp_encoder_apply(params["pp"], graph, gs, axis_name)
+        hp_local = ring_pp_encoder_apply(
+            params["pp"], graph, gs, axis_name, backend=backend
+        )
         hd = ring_hierarchy_apply(
             params["hier"], hp_local, graph, graph["dp_deg"], gs.n_drug,
             axis_name,

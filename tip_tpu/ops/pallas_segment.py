@@ -464,3 +464,204 @@ def _distmult_vjp_bwd(compute_dtype, res, g2d):
 
 
 distmult_logits_padded.defvjp(_distmult_vjp_fwd, _distmult_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused NN decoder edge scoring
+# ---------------------------------------------------------------------------
+#
+# The reference NNDecoder (src/layers.py:598-631) scores an edge as
+#   logits_e = sum_l relu(z W1)[src_e, l] w1[et_e, l]
+#            + sum_l relu(z W2)[dst_e, l] w2[et_e, l]
+# The dense L1 projections + relu stay in XLA (two [n_drug, l1] matmuls);
+# the per-edge part is two half-DistMult SDDMMs sharing the DistMult
+# kernel's transposed layout: h^T [L, N] @ onehot(idx)^T [N, C] puts the
+# chunk axis on the lanes.  This removes the [E, l1] gather intermediates
+# the XLA path materializes (8x-padded on TPU).
+
+
+def _nn_fwd_kernel(
+    chunk_type_ref, src_ref, dst_ref, h1t_ref, h2t_ref, w1_ref, w2_ref, out_ref
+):
+    dtype = h1t_ref.dtype
+    n = h1t_ref.shape[1]
+    hs = jnp.dot(
+        h1t_ref[:], _onehot_t(src_ref[0, 0, :], n, dtype),
+        preferred_element_type=jnp.float32,
+    )  # [L, C]
+    hd = jnp.dot(
+        h2t_ref[:], _onehot_t(dst_ref[0, 0, :], n, dtype),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0, :] = jnp.sum(
+        hs * w1_ref[0, 0][:, None] + hd * w2_ref[0, 0][:, None], axis=0
+    )
+
+
+def _nn_fwd(h1t, h2t, w1, w2, src2d, dst2d, chunk_type):
+    n_chunks, chunk = src2d.shape
+    l1, n = h1t.shape
+    n_et = w1.shape[0]
+    src3d = src2d.reshape(n_chunks, 1, chunk)
+    dst3d = dst2d.reshape(n_chunks, 1, chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h1t whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h2t whole
+            pl.BlockSpec((1, 1, l1), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l1), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out3d = pl.pallas_call(
+        _nn_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 1, chunk), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_chunks * chunk * n * l1,
+            bytes_accessed=n_chunks * chunk * 12,
+            transcendentals=0,
+        ),
+    )(
+        chunk_type, src3d, dst3d, h1t, h2t,
+        w1.reshape(n_et, 1, l1), w2.reshape(n_et, 1, l1),
+    )
+    return out3d.reshape(n_chunks, chunk)
+
+
+def _nn_bwd_kernel(
+    chunk_type_ref, src_ref, dst_ref, g_ref, h1t_ref, h2t_ref, w1_ref, w2_ref,
+    dh1t_ref, dh2t_ref, dw1_ref, dw2_ref,
+):
+    i = pl.program_id(0)
+    t = chunk_type_ref[i]
+    prev_t = chunk_type_ref[jnp.maximum(i - 1, 0)]
+    first_visit = jnp.logical_or(i == 0, prev_t != t)
+    dtype = h1t_ref.dtype
+    n = h1t_ref.shape[1]
+    src = src_ref[0, 0, :]
+    dst = dst_ref[0, 0, :]
+    g = g_ref[0, 0][None, :]  # [1, C]
+
+    # dh scatters: dh1[src] += g * w1[t]; dh2[dst] += g * w2[t]
+    a = (w1_ref[0, 0][:, None] * g).astype(dtype)  # [L, C]
+    b = (w2_ref[0, 0][:, None] * g).astype(dtype)
+    dh1 = jnp.dot(a, _onehot(src, n, dtype), preferred_element_type=jnp.float32)
+    dh2 = jnp.dot(b, _onehot(dst, n, dtype), preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        dh1t_ref[:] = dh1
+        dh2t_ref[:] = dh2
+
+    @pl.when(i != 0)
+    def _():
+        dh1t_ref[:] += dh1
+        dh2t_ref[:] += dh2
+
+    # dw gathers: dw1[t] += sum_e g * h1[src]; dw2[t] += sum_e g * h2[dst]
+    hs = jnp.dot(
+        h1t_ref[:], _onehot_t(src, n, dtype), preferred_element_type=jnp.float32
+    )
+    hd = jnp.dot(
+        h2t_ref[:], _onehot_t(dst, n, dtype), preferred_element_type=jnp.float32
+    )
+    dw1 = jnp.sum(hs * g, axis=1)
+    dw2 = jnp.sum(hd * g, axis=1)
+
+    @pl.when(first_visit)
+    def _():
+        dw1_ref[0, 0, :] = dw1
+        dw2_ref[0, 0, :] = dw2
+
+    @pl.when(jnp.logical_not(first_visit))
+    def _():
+        dw1_ref[0, 0, :] += dw1
+        dw2_ref[0, 0, :] += dw2
+
+
+def _nn_bwd(h1t, h2t, w1, w2, src2d, dst2d, chunk_type, g2d):
+    n_chunks, chunk = src2d.shape
+    l1, n = h1t.shape
+    n_et = w1.shape[0]
+    src3d = src2d.reshape(n_chunks, 1, chunk)
+    dst3d = dst2d.reshape(n_chunks, 1, chunk)
+    g3d = g2d.reshape(n_chunks, 1, chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h1t
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h2t
+            pl.BlockSpec((1, 1, l1), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l1), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((l1, n), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l1, n), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l1), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l1), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    dh1t, dh2t, dw13d, dw23d = pl.pallas_call(
+        _nn_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((l1, n), jnp.float32),
+            jax.ShapeDtypeStruct((l1, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_et, 1, l1), jnp.float32),
+            jax.ShapeDtypeStruct((n_et, 1, l1), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * n_chunks * chunk * n * l1,
+            bytes_accessed=n_chunks * chunk * 16,
+            transcendentals=0,
+        ),
+    )(
+        chunk_type, src3d, dst3d, g3d, h1t, h2t,
+        w1.reshape(n_et, 1, l1), w2.reshape(n_et, 1, l1),
+    )
+    return dh1t, dh2t, dw13d.reshape(n_et, l1), dw23d.reshape(n_et, l1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def nn_logits_padded(h1, h2, w1, w2, src2d, dst2d, chunk_type,
+                     compute_dtype=jnp.float32):
+    """NN-decoder logits [n_chunks, chunk] from the per-node L1 tables.
+
+    h1/h2: [n_nodes, l1] (relu'd L1 projections); w1/w2: [n_et, l1]
+    per-relation L2 rows.  Padding rows (dst = n_nodes) produce garbage in
+    the src term — the caller masks with the valid mask, the same contract
+    as the XLA path (nn_decoder_apply_padded clamps instead).
+    """
+    return _nn_fwd(
+        h1.T.astype(compute_dtype), h2.T.astype(compute_dtype), w1, w2,
+        src2d, dst2d, chunk_type,
+    )
+
+
+def _nn_vjp_fwd(h1, h2, w1, w2, src2d, dst2d, chunk_type, compute_dtype):
+    h1t = h1.T.astype(compute_dtype)
+    h2t = h2.T.astype(compute_dtype)
+    out = _nn_fwd(h1t, h2t, w1, w2, src2d, dst2d, chunk_type)
+    return out, (h1t, h2t, w1, w2, src2d, dst2d, chunk_type)
+
+
+def _nn_vjp_bwd(compute_dtype, res, g2d):
+    h1t, h2t, w1, w2, src2d, dst2d, chunk_type = res
+    dh1t, dh2t, dw1, dw2 = _nn_bwd(
+        h1t, h2t, w1, w2, src2d, dst2d, chunk_type, g2d.astype(jnp.float32)
+    )
+    return dh1t.T, dh2t.T, dw1, dw2, None, None, None
+
+
+nn_logits_padded.defvjp(_nn_vjp_fwd, _nn_vjp_bwd)

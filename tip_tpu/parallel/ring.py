@@ -57,7 +57,7 @@ def build_ring_pp(
     dp_edge_index: np.ndarray,
     n_prot: int,
     n_shards: int,
-    pad_multiple: int = 128,
+    pad_multiple: int = 512,  # = the RDMA kernel's inner chunk size
 ) -> RingPP:
     """Bin the cached-normalized P-P COO + the P->D edges into ring blocks.
 
@@ -185,21 +185,33 @@ def local_rows(x, axis_name: str, n_shards: int, n_local: int):
     return jax.lax.dynamic_slice_in_dim(x, i * n_local, n_local, axis=0)
 
 
-def ring_pp_encoder_apply(params, graph, gs, axis_name: str):
+def ring_pp_encoder_apply(params, graph, gs, axis_name: str,
+                          backend: str = "xla"):
     """Row-sharded 2-layer P-P GCN; returns hp_local [n_local, pp_hid2].
 
     Identity protein features (the default data path, reference:
     prepare.py:22-23): layer 1's weight matrix IS the per-protein activation
     table, so each chip slices its own weight rows and no feature matmul
     happens (same fast path as nn/gcn.py:gcn_conv_apply with x=None).
+
+    backend 'pallas' rotates the activation shard with the in-kernel remote
+    DMA ring (ops/pallas_ring.py, overlap owned by the kernel); 'xla' uses
+    the lax.scan + ppermute oracle below.
     """
     k, n_local = gs.pp_ring_shards, ring_shard_size(gs.n_prot, gs.pp_ring_shards)
     blocks = (graph["ppr_src"][0], graph["ppr_dstl"][0], graph["ppr_w"][0])
+    if backend == "pallas":
+        from tip_tpu.ops.pallas_ring import ring_spmm_rdma
+
+        spmm = lambda h: ring_spmm_rdma(h, *blocks, axis_name)
+    else:
+        spmm = lambda h: ring_spmm(h, *blocks, n_local=n_local,
+                                   axis_name=axis_name)
     h = local_rows(params["conv1"]["weight"], axis_name, k, n_local)
-    h = ring_spmm(h, *blocks, n_local=n_local, axis_name=axis_name)
+    h = spmm(h)
     h = jax.nn.relu(h + params["conv1"]["bias"])
     h = h @ params["conv2"]["weight"]
-    h = ring_spmm(h, *blocks, n_local=n_local, axis_name=axis_name)
+    h = spmm(h)
     return h + params["conv2"]["bias"]
 
 

@@ -251,7 +251,8 @@ class TIP:
                 backend=self.backend, kernel_dtype=self.cfg.kernel_dtype,
             )
         return nn_decoder_apply_padded(
-            params["decoder"], z, src2d, dst2d, chunk_type, sigmoid
+            params["decoder"], z, src2d, dst2d, chunk_type, sigmoid,
+            backend=self.backend, kernel_dtype=self.cfg.kernel_dtype,
         )
 
     def loss(self, params, graph, key, remat: bool = False, axis_name=None):
