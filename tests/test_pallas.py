@@ -13,7 +13,7 @@ from tip_tpu.data.packing import (
 )
 from tip_tpu.data import synthetic_trigraph
 from tip_tpu.ops.segment import typed_neighbor_sum
-from tip_tpu.ops.pallas_segment import typed_neighbor_sum_padded
+from tip_tpu.ops.pallas_segment import typed_neighbor_sum_padded_t
 
 
 @pytest.fixture(scope="module")
@@ -43,7 +43,8 @@ def test_typed_neighbor_sum_padded_matches_xla(packed):
         x, edges.edge_index[0], edges.edge_index[1], edges.edge_type, n, edges.n_et
     )
     with pltpu.force_tpu_interpret_mode():
-        got = typed_neighbor_sum_padded(x, src2d, dst2d, ct, edges.n_et)
+        got = typed_neighbor_sum_padded_t(x, src2d, dst2d, ct, edges.n_et)
+    got = jnp.swapaxes(got, 1, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
@@ -175,7 +176,8 @@ def test_typed_neighbor_sum_padded_grad_matches_xla(packed):
         return jnp.vdot(p, cot)
 
     def loss_pallas(x):
-        p = typed_neighbor_sum_padded(x, src2d, dst2d, ct, edges.n_et)
+        pt = typed_neighbor_sum_padded_t(x, src2d, dst2d, ct, edges.n_et)
+        p = jnp.swapaxes(pt, 1, 2)
         return jnp.vdot(p, cot)
 
     g_want = jax.grad(loss_xla)(x)

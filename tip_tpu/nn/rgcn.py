@@ -89,11 +89,17 @@ def rgcn_apply_padded(
     linear, so any chunk partition is valid).
     """
     if backend == "pallas":
-        from tip_tpu.ops.pallas_segment import typed_neighbor_sum_padded
+        from tip_tpu.ops.pallas_segment import typed_neighbor_sum_padded_t
 
-        p = typed_neighbor_sum_padded(
+        # Transposed kernel layout [n_et, d, n] — the basis einsums contract
+        # it directly; see ops/pallas_segment.py:typed_neighbor_sum_padded_t.
+        pt = typed_neighbor_sum_padded_t(
             x, src2d, dst2d, chunk_type, n_et, jnp.dtype(kernel_dtype)
         )
+        q = jnp.einsum("tb,tdn->bdn", params["att"], pt)
+        if axis_name is not None:
+            q = jax.lax.psum(q, axis_name)
+        agg = jnp.einsum("bdn,bde->ne", q, params["basis"])
     else:
         import jax.ops
 
@@ -106,10 +112,10 @@ def rgcn_apply_padded(
             x[src], seg, num_segments=n_et * (n_nodes + 1), indices_are_sorted=True
         )
         p = flat.reshape(n_et, n_nodes + 1, x.shape[-1])[:, :n_nodes, :]
-    q = jnp.einsum("tb,tnd->bnd", params["att"], p)
-    if axis_name is not None:
-        q = jax.lax.psum(q, axis_name)
-    agg = jnp.einsum("bnd,bde->ne", q, params["basis"])
+        q = jnp.einsum("tb,tnd->bnd", params["att"], p)
+        if axis_name is not None:
+            q = jax.lax.psum(q, axis_name)
+        agg = jnp.einsum("bnd,bde->ne", q, params["basis"])
     out = mean_from_sum(agg, degree) + x @ params["root"]
     if "bias" in params:
         out = out + params["bias"]

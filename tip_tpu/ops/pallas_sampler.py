@@ -22,22 +22,22 @@ dimension, so a direct [rows, 128] row-gather is unsupported):
   2. bit address: byte = pair >> 3 -> (row = byte >> 7, lane = byte & 127),
      bit-in-byte = pair & 7;
   3. the bitmap is pre-split into little-endian BYTE planes stacked along
-     rows, stored as f32 [4*word_rows, 128] (values < 2^8), so the MXU
-     does the whole byte gather as a one-hot matmul
+     rows, stored as int8 [4*word_rows, 128] (exact — entries are bytes),
+     so the MXU does the whole byte gather as a one-hot matmul
      onehot(row) [C, rows] @ table [rows, 128], and the remaining
-     per-candidate selection is only 128 lanes wide.  Operands are f32 (the
-     fast single-pass-bf16 MXU path; explicit bf16 inputs measured ~25x
-     slower under Mosaic) — exact BECAUSE entries are bytes: a 16-bit-half
-     table at this precision silently reads wrong bits;
+     per-candidate selection is only 128 lanes wide;
   4. the lane selection is ONE VPU masked row-reduction
      (dynamic_gather serializes; a multiply+reduce runs at vector ALU rate);
-  5. rejected candidates fall through to the next round's draw (masked
-     select).  After ``rounds`` full-width rounds, ``extra_rounds`` more run
-     UNDER ``@pl.when(any collision in chunk)`` — on Decagon only ~49% of
-     chunks are still dirty after 2 rounds, 8% after 3, so six total rounds
-     cost ~2.6 full-width equivalents.  Survivors of the last round are
-     accepted (probability density^rounds_total, < 4e-6 per edge of the
-     densest relation at 6 rounds; the reference's host loop is unbounded,
+  5. colliding candidates are SIGN-FLAGGED in the output and resolved by an
+     XLA lane-borrow pass in the wrapper: a flagged lane takes the candidate
+     of a clean lane of the same chunk (= same relation) at offsets
+     1/2/4/8 — sampling with replacement, marginally uniform over the
+     relation's non-positives.  Each extra full-width in-kernel redraw
+     round measured ~19 ms/step at Decagon scale and in-kernel pltpu.roll
+     ~75 ms; the four XLA passes are <1 ms.  Residual collisions
+     (a whole 5-lane neighborhood colliding, ~density^5 — measured 0 of
+     8.6M on Decagon) are accepted, mirroring the bounded-tail contract
+     (the reference's host loop is unbounded,
      reference: src/neg_sampling.py:12-16).
 """
 
@@ -63,7 +63,7 @@ def _sampler_kernel(n_nodes, rounds, extra_rounds, onchip, chunk_type_ref,
         pltpu.prng_seed(rng_ref[0], pl.program_id(0))
     c = out_ref.shape[2]
     rows = tbl_ref.shape[1]
-    tbl = tbl_ref[0]  # [rows, 128] f32 holding BYTE values (exact in bf16)
+    tbl = tbl_ref[0]  # [rows, 128] int8 holding the bitmap's BYTE planes
 
     def draw(r):
         # 24-bit randoms: uniform over [0, n^2) WITHOUT vector integer
@@ -82,17 +82,19 @@ def _sampler_kernel(n_nodes, rounds, extra_rounds, onchip, chunk_type_ref,
         row = byte_addr >> 7
         lane = byte_addr & 127
         bit = pair & 7
-        # byte gather as one-hot matmul (bf16 bytes are exact < 2^8); byte
-        # planes are stacked along ROWS so the MXU does the whole gather and
-        # the VPU lane-select below stays 128 wide
+        # byte gather as an INT8 one-hot matmul with int32 accumulation —
+        # exact (entries are bytes) and the MXU's s8 path runs ~2x the
+        # single-pass-bf16 rate this kernel used before; byte planes are
+        # stacked along ROWS so the MXU does the whole gather and the VPU
+        # lane-select below stays 128 wide
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (c, rows), 1)
-        oh = (row_ids == row[:, None]).astype(jnp.float32)
-        g = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)  # [c, 128]
-        # lane select in one masked reduction (masks built in f32: Mosaic
-        # cannot insert dims on 1-bit bools)
+        oh = (row_ids == row[:, None]).astype(jnp.int8)
+        g = jnp.dot(oh, tbl, preferred_element_type=jnp.int32)  # [c, 128]
+        # lane select in one masked reduction (Mosaic cannot insert dims on
+        # 1-bit bools; dynamic_gather would serialize)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 1)
-        at_lane = (lane_ids == lane[:, None]).astype(jnp.float32)
-        byte = jnp.sum(g * at_lane, axis=1).astype(jnp.int32)
+        at_lane = (lane_ids == lane[:, None]).astype(jnp.int32)
+        byte = jnp.sum(g * at_lane, axis=1)
         collides = ((byte >> bit) & 1) != 0
         return pair, collides
 
@@ -125,8 +127,8 @@ def typed_negative_sampling_padded(
     n_nodes: int,
     n_et: int,
     chunk: int,
-    rounds: int = 2,
-    tail_rounds: int = 4,
+    rounds: int = 1,
+    tail_rounds: int = 0,
     onchip_prng: bool | None = None,
 ):
     """Sample negatives for a chunk-aligned typed edge buffer, on-chip.
@@ -145,18 +147,20 @@ def typed_negative_sampling_padded(
     stride_words = bitmap_stride_bits(n_nodes) // 32
     rows = stride_words * 4 // 128  # one byte per entry
     words = bitmap.reshape(n_et, stride_words)
-    # little-endian byte planes stacked along rows, stored as f32 BYTE
-    # values: the dot below runs at default (single-pass bf16) MXU precision,
-    # which is exact for 0..255 — full speed AND correct, where 16-bit table
-    # halves were silently truncated.  byte address b = pair >> 3 maps to
-    # (row = b >> 7, lane = b & 127).
+    # little-endian byte planes stacked along rows, stored as INT8: the s8
+    # MXU path accumulates exactly into int32 at ~2x the single-pass-bf16
+    # rate (bytes land in [-128, 127] after the int8 cast; the sign bit
+    # round-trips exactly through int32 `& 0xFF`-free arithmetic because
+    # only bit tests are performed downstream).  byte address b = pair >> 3
+    # maps to (row = b >> 7, lane = b & 127).
     tblb = (
         jnp.stack(
             [((words >> (8 * p)) & jnp.uint32(0xFF)) for p in range(4)],
             axis=2,
         )
         .reshape(n_et, rows, 128)
-        .astype(jnp.float32)
+        .astype(jnp.uint8)
+        .astype(jnp.int8)
     )
     total_rounds = rounds + tail_rounds
     if onchip_prng is None:
@@ -212,4 +216,18 @@ def typed_negative_sampling_padded(
             transcendentals=0,
         ),
     )(chunk_type, rng_arg, tblb)
-    return out3d.reshape(n_chunks, chunk)
+    out = out3d.reshape(n_chunks, chunk)
+    # Lane-rotation fallback, in XLA-land: a lane the kernel sign-flagged as
+    # colliding borrows the candidate of a CLEAN lane of the SAME chunk
+    # (same relation) at increasing offsets — sampling with replacement, so
+    # each lane's marginal stays uniform over the relation's non-positives.
+    # This replaces full-width redraw rounds: one kernel draw costs ~19
+    # ms/step at Decagon scale, these four vectorized passes over the
+    # [n_chunks, chunk] buffer <1 ms (in-kernel pltpu.roll measured ~75 ms —
+    # lane permutes are slow inside Mosaic).  Residual collisions (all lanes
+    # in a 5-lane neighborhood colliding, ~density^5) keep the sign flag and
+    # fall through to the kernel's accept-leftovers contract.
+    for shift in (1, 2, 4, 8):
+        alt = jnp.roll(out, shift, axis=1)
+        out = jnp.where((out < 0) & (alt >= 0), alt, out)
+    return jnp.where(out < 0, -out - 1, out)

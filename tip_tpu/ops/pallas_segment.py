@@ -57,21 +57,26 @@ def _onehot_t(ids, n, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _tns_fwd_kernel(chunk_type_ref, src_ref, dst_ref, x_ref, out_ref):
+def _tns_fwd_kernel(chunk_type_ref, src_ref, dst_ref, xt_ref, out_ref):
+    # TRANSPOSED layout: xt [d, n], output block [1, d, n].  Feature dims
+    # here are 16-64 — putting them on the 128-wide lanes (the [C, N]x[N, D]
+    # orientation) wastes 50-87% of the MXU; with the node/chunk axes on the
+    # lanes both matmuls run full width (same trick as the DistMult kernel).
     i = pl.program_id(0)
     t = chunk_type_ref[i]
     prev_t = chunk_type_ref[jnp.maximum(i - 1, 0)]
     first_visit = jnp.logical_or(i == 0, prev_t != t)
 
-    n = x_ref.shape[0]
+    n = xt_ref.shape[1]
     src = src_ref[0, 0, :]
     dst = dst_ref[0, 0, :]
-    dtype = x_ref.dtype
-    gathered = jnp.dot(
-        _onehot(src, n, dtype), x_ref[:], preferred_element_type=jnp.float32
+    dtype = xt_ref.dtype
+    gathered = jnp.dot(  # [d, C]
+        xt_ref[:], _onehot_t(src, n, dtype), preferred_element_type=jnp.float32
     )
-    contrib = jnp.dot(
-        _onehot_t(dst, n, dtype), gathered, preferred_element_type=jnp.float32
+    contrib = jnp.dot(  # [d, n]
+        gathered.astype(dtype), _onehot(dst, n, dtype),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(first_visit)
@@ -83,9 +88,9 @@ def _tns_fwd_kernel(chunk_type_ref, src_ref, dst_ref, x_ref, out_ref):
         out_ref[0] += contrib
 
 
-def _tns_fwd(x, src2d, dst2d, chunk_type, n_et: int):
+def _tns_fwd(xt, src2d, dst2d, chunk_type, n_et: int):
     n_chunks, chunk = src2d.shape
-    n, d = x.shape
+    d, n = xt.shape
     # Mosaic block rule: last two dims divisible by (8, 128) or equal to the
     # array dims — per-chunk rows are lifted to [n_chunks, 1, chunk] so the
     # (1, 1, chunk) block matches the trailing array dims exactly.
@@ -97,21 +102,21 @@ def _tns_fwd(x, src2d, dst2d, chunk_type, n_et: int):
         in_specs=[
             pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x, whole array
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xt, whole array
         ],
         out_specs=pl.BlockSpec(
-            (1, n, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM
+            (1, d, n), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM
         ),
     )
     flops = 2 * 2 * n_chunks * chunk * n * d
     return pl.pallas_call(
         _tns_fwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_et, n, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_et, d, n), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=n_et * n * d * 4, transcendentals=0
         ),
-    )(chunk_type, src3d, dst3d, x)
+    )(chunk_type, src3d, dst3d, xt)
 
 
 # ---------------------------------------------------------------------------
@@ -119,16 +124,20 @@ def _tns_fwd(x, src2d, dst2d, chunk_type, n_et: int):
 # ---------------------------------------------------------------------------
 
 
-def _tns_bwd_kernel(chunk_type_ref, src_ref, dst_ref, dp_ref, out_ref):
+def _tns_bwd_kernel(chunk_type_ref, src_ref, dst_ref, dpt_ref, out_ref):
+    # transposed like the forward: dpt block [1, d, n], dxt out [d, n]
     i = pl.program_id(0)
     src = src_ref[0, 0, :]
     dst = dst_ref[0, 0, :]
-    dtype = dp_ref.dtype
-    c = src.shape[0]
-    n = out_ref.shape[0]
+    dtype = dpt_ref.dtype
+    n = out_ref.shape[1]
     # gather cotangent rows of this chunk's relation at dst, scatter to src
-    g = jnp.dot(_onehot(dst, n, dtype), dp_ref[0], preferred_element_type=jnp.float32)
-    contrib = jnp.dot(_onehot_t(src, n, dtype), g, preferred_element_type=jnp.float32)
+    g = jnp.dot(  # [d, C]
+        dpt_ref[0], _onehot_t(dst, n, dtype), preferred_element_type=jnp.float32
+    )
+    contrib = jnp.dot(  # [d, n]
+        g.astype(dtype), _onehot(src, n, dtype), preferred_element_type=jnp.float32
+    )
 
     @pl.when(i == 0)
     def _():
@@ -139,9 +148,9 @@ def _tns_bwd_kernel(chunk_type_ref, src_ref, dst_ref, dp_ref, out_ref):
         out_ref[:] += contrib
 
 
-def _tns_bwd(dp, src2d, dst2d, chunk_type):
+def _tns_bwd(dpt, src2d, dst2d, chunk_type):
     n_chunks, chunk = src2d.shape
-    n_et, n, d = dp.shape
+    n_et, d, n = dpt.shape
     src3d = src2d.reshape(n_chunks, 1, chunk)
     dst3d = dst2d.reshape(n_chunks, 1, chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -150,20 +159,20 @@ def _tns_bwd(dp, src2d, dst2d, chunk_type):
         in_specs=[
             pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, n), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, d), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((d, n), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         _tns_bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n_chunks * chunk * n * d,
             bytes_accessed=n_et * n * d * 4,
             transcendentals=0,
         ),
-    )(chunk_type, src3d, dst3d, dp)
+    )(chunk_type, src3d, dst3d, dpt)
 
 
 # ---------------------------------------------------------------------------
@@ -172,34 +181,37 @@ def _tns_bwd(dp, src2d, dst2d, chunk_type):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def typed_neighbor_sum_padded(x, src2d, dst2d, chunk_type, n_et,
-                              compute_dtype=jnp.float32):
-    """Pallas version of ops.segment.typed_neighbor_sum over padded chunks.
+def typed_neighbor_sum_padded_t(x, src2d, dst2d, chunk_type, n_et,
+                                compute_dtype=jnp.float32):
+    """Pallas version of ops.segment.typed_neighbor_sum over padded chunks,
+    in TRANSPOSED output layout.
 
     x: [n_nodes, d]; src2d/dst2d: [n_chunks, chunk] int32 (padding rows have
     dst = n_nodes); chunk_type: [n_chunks] int32 relation per chunk,
-    non-decreasing.  Returns P [n_et, n_nodes, d] float32.  With
-    compute_dtype=bfloat16 the one-hot matmul inputs are cast (one-hots are
-    exact; x loses 8 mantissa bits) while accumulation stays float32 — a
-    ~4x MXU rate on v5e.
+    non-decreasing.  Returns P^T [n_et, d, n_nodes] float32 — the node axis
+    rides the 128-wide lanes inside the kernel (d is 16-64 here; the
+    un-transposed orientation wastes 50-87% of the MXU), and the consumer's
+    basis einsums contract the transposed layout directly (nn/rgcn.py).
+    With compute_dtype=bfloat16 the one-hot matmul inputs are cast (one-hots
+    are exact; x loses 8 mantissa bits) while accumulation stays float32.
     """
-    return _tns_fwd(x.astype(compute_dtype), src2d, dst2d, chunk_type, n_et)
+    return _tns_fwd(x.T.astype(compute_dtype), src2d, dst2d, chunk_type, n_et)
 
 
 def _tns_vjp_fwd(x, src2d, dst2d, chunk_type, n_et, compute_dtype):
     return (
-        _tns_fwd(x.astype(compute_dtype), src2d, dst2d, chunk_type, n_et),
+        _tns_fwd(x.T.astype(compute_dtype), src2d, dst2d, chunk_type, n_et),
         (src2d, dst2d, chunk_type),
     )
 
 
-def _tns_vjp_bwd(n_et, compute_dtype, res, dp):
+def _tns_vjp_bwd(n_et, compute_dtype, res, dpt):
     src2d, dst2d, chunk_type = res
-    dx = _tns_bwd(dp.astype(compute_dtype), src2d, dst2d, chunk_type)
-    return dx, None, None, None
+    dxt = _tns_bwd(dpt.astype(compute_dtype), src2d, dst2d, chunk_type)
+    return dxt.T, None, None, None
 
 
-typed_neighbor_sum_padded.defvjp(_tns_vjp_fwd, _tns_vjp_bwd)
+typed_neighbor_sum_padded_t.defvjp(_tns_vjp_fwd, _tns_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------

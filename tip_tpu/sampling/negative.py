@@ -115,15 +115,15 @@ def typed_negative_sampling_chunked(
 ):
     """Negatives for a chunk-aligned buffer: (src2d, dst2d) [n_chunks, chunk].
 
-    'pallas' runs the on-chip sampler kernel (ops/pallas_sampler.py) with
-    2 full-width rounds + a compacted exact tail covering ``rounds`` more;
+    'pallas' runs the on-chip sampler kernel (ops/pallas_sampler.py): one
+    full-width in-VMEM round + an XLA lane-borrow pass for collisions;
     'xla' flattens to the HBM-gather path above with ``rounds`` rounds.
     """
     if backend == "pallas":
         from tip_tpu.ops.pallas_sampler import typed_negative_sampling_padded
 
         pair = typed_negative_sampling_padded(
-            key, chunk_type, bitmap, n_nodes, n_et, chunk, tail_rounds=rounds
+            key, chunk_type, bitmap, n_nodes, n_et, chunk
         )
         return pair % n_nodes, pair // n_nodes
     et_flat = jnp.repeat(chunk_type, chunk)
