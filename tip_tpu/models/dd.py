@@ -48,7 +48,7 @@ class DDConfig:
     kernel_dtype: str = "float32"  # see ModelConfig.kernel_dtype
 
 
-def make_dd_graph_arrays(data: TriGraphData, chunk: int = 512):
+def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024):
     padded = pad_typed_edges(data.dd_train, data.n_drug, chunk=chunk)
     n_chunks = padded.chunk_type.shape[0]
     graph = {

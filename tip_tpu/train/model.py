@@ -67,7 +67,7 @@ class GraphStatic:
 
 def make_graph_arrays(
     data: TriGraphData,
-    dd_chunk: int = 512,
+    dd_chunk: int = 1024,
     pp_window: int = 1024,
     pp_chunk: int = 512,
 ):
