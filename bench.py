@@ -43,30 +43,43 @@ V5E_PEAK_F32 = V5E_PEAK_BF16 / 4
 
 
 def _step_mxu_flops(gs, cfg) -> float:
-    """One-hot matmul FLOPs executed per training step (fwd + bwd).
+    """Matmul FLOPs executed per training step (fwd + bwd).
 
-    Counts the Pallas kernels' dense matmul work (ops/pallas_segment.py):
-    R-GCN gather+scatter per chunk is 2 matmuls of [C,N]x[N,D] (4*C*N*D
-    flops), the dx backward the same again; the decoder fwd runs 2 gathers
-    at [D,N]x[N,C] per chunk for pos and neg, its backward ~2x fwd.  The
-    basis einsums, P-P SpMM and sampler are <5% combined and are ignored.
+    R-GCN aggregation runs on the dense relation adjacency
+    (data/packing.py:dense_relation_adj): per layer, fwd is one batched GEMM
+    [R,n,n]x[n,d] (2*R*n^2*d flops) and the dx backward the same again.  The
+    decoder scores POSITIVES densely too (all n^2 pairs per relation,
+    nn/decoders.py:distmult_dense_pos_bce_sum; fwd + remat + 2 grad einsums
+    ~4x fwd) and NEGATIVES through the chunked one-hot SDDMM
+    (ops/pallas_segment.py): fwd runs 2 gathers at [D,N]x[N,C] per chunk,
+    its backward ~2x fwd.  The basis einsums, P-P SpMM and sampler are <5%
+    combined and are ignored.
     """
     c, n, k = gs.dd_chunk, gs.n_drug, gs.dd_n_chunks
-    tns = lambda d: 4.0 * c * n * d * k  # gather+scatter, one layer, fwd
-    rgcn_fwd = tns(cfg.rgcn_in_dim) + tns(cfg.n_hid1)
+    r = gs.n_et
+    dense = lambda d: 2.0 * r * n * n * d  # one batched GEMM, fwd
+    rgcn_fwd = dense(cfg.rgcn_in_dim) + dense(cfg.n_hid1)
     rgcn_bwd = rgcn_fwd
-    dec_fwd = 2 * (4.0 * c * n * cfg.n_hid2) * k  # pos + neg
-    dec_bwd = 2 * dec_fwd
-    return rgcn_fwd + rgcn_bwd + dec_fwd + dec_bwd
+    dec_pos = 4 * dense(cfg.n_hid2)  # fwd + remat + dz/dw einsums
+    dec_neg_fwd = (4.0 * c * n * cfg.n_hid2) * k
+    dec_neg_bwd = 2 * dec_neg_fwd
+    return rgcn_fwd + rgcn_bwd + dec_pos + dec_neg_fwd + dec_neg_bwd
 
 
-def _bench_one(data, kernel_dtype: str, n_steps: int = 10):
+def _bench_one(data, kernel_dtype: str, n_steps: int = 30):
     import optax
 
     from tip_tpu.config import ModelConfig
     from tip_tpu.train.model import TIP, make_graph_arrays
 
-    graph, gs = make_graph_arrays(data)
+    from tip_tpu.train.model import dense_rgcn_feasible
+
+    dense = (
+        kernel_dtype
+        if dense_rgcn_feasible(data.n_drug, data.n_et, kernel_dtype)
+        else None
+    )
+    graph, gs = make_graph_arrays(data, dense_dtype=dense)
     cfg = ModelConfig.tip_cat(kernel_dtype=kernel_dtype)
     model = TIP.for_data(cfg, data, gs, backend="auto")
     params = model.init(jax.random.key(0))

@@ -64,3 +64,31 @@ def test_sampler_kernel_seed_behavior(setup):
     c = _run(data, padded, n_chunks, 2)
     assert np.array_equal(a, b)  # deterministic per seed
     assert not np.array_equal(a, c)  # different seeds differ
+
+
+def test_sampler_planes_identical(setup):
+    """Precomputed byte planes (sampling/negative.py:bitmap_byte_planes)
+    produce bit-identical samples to the in-step table construction."""
+    from tip_tpu.sampling.negative import bitmap_byte_planes
+
+    data, padded, n_chunks = setup
+    planes = jnp.asarray(
+        bitmap_byte_planes(data.dd_train_bitmap, data.n_et, data.n_drug)
+    )
+    seed = jax.random.key(123)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(
+            typed_negative_sampling_padded(
+                seed, jnp.asarray(padded.chunk_type),
+                jnp.asarray(data.dd_train_bitmap), data.n_drug, data.n_et,
+                padded.chunk, rounds=6,
+            )
+        )
+        b = np.asarray(
+            typed_negative_sampling_padded(
+                seed, jnp.asarray(padded.chunk_type),
+                jnp.asarray(data.dd_train_bitmap), data.n_drug, data.n_et,
+                padded.chunk, rounds=6, planes=planes,
+            )
+        )
+    np.testing.assert_array_equal(a, b)

@@ -129,6 +129,31 @@ def in_degree(edge_index: np.ndarray, n_nodes: int) -> np.ndarray:
     return bincount_i32(edge_index[1], n_nodes)
 
 
+def dense_relation_adj(edges: TypedEdges, n_nodes: int) -> np.ndarray:
+    """Dense per-relation adjacency DA [n_et, n_nodes(dst), n_nodes(src)].
+
+    ``DA[t, d, s]`` counts directed edges s->d of relation t, so the R-GCN
+    neighbor binning P[t] = sum_{e in t, dst=d} x[src_e] becomes the batched
+    dense matmul ``P[t] = DA[t] @ x`` (nn/rgcn.py).  This is the TPU-shaped
+    form of the aggregation when the node set is small (645 drugs): the
+    whole multigraph fits as one [R, n, n] tensor (~456 MB at Decagon scale)
+    and the hot op is pure MXU batched GEMM — no per-edge gather/scatter at
+    all.  Counts returned as uint16 (cast to the compute dtype on device;
+    integers this small are exact in bfloat16).
+
+    Replaces the edge streaming the reference does per relation
+    (reference: src/layers.py:162-180) for small node sets; the chunked
+    kernels (ops/pallas_segment.py) remain the path for large ones.
+    """
+    src, dst = edges.edge_index
+    et = edges.edge_type.astype(np.int64)
+    flat = (et * n_nodes + dst.astype(np.int64)) * n_nodes + src.astype(np.int64)
+    counts = np.bincount(flat, minlength=edges.n_et * n_nodes * n_nodes)
+    if counts.max() >= 2**16:
+        raise ValueError("edge multiplicity exceeds uint16")
+    return counts.astype(np.uint16).reshape(edges.n_et, n_nodes, n_nodes)
+
+
 def encode_keys(edges: TypedEdges, n_nodes: int) -> np.ndarray:
     """Unique int64 key per edge, encoded (type, dst, src) to match the
     sort order of :func:`sort_typed_edges` — ascending over the sorted buffer."""

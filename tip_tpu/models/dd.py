@@ -33,6 +33,7 @@ from tip_tpu.sampling import (
     typed_negative_sampling,
     typed_negative_sampling_chunked,
 )
+from tip_tpu.sampling.negative import bitmap_byte_planes
 from tip_tpu.train.model import GraphStatic, resolve_backend
 
 
@@ -48,7 +49,8 @@ class DDConfig:
     kernel_dtype: str = "float32"  # see ModelConfig.kernel_dtype
 
 
-def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024):
+def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024,
+                         dense_dtype: str | None = None):
     padded = pad_typed_edges(data.dd_train, data.n_drug, chunk=chunk)
     n_chunks = padded.chunk_type.shape[0]
     graph = {
@@ -58,7 +60,15 @@ def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024):
         "dd_chunk_type": jnp.asarray(padded.chunk_type),
         "dd_deg": jnp.asarray(data.dd_train_deg),
         "dd_bitmap": jnp.asarray(data.dd_train_bitmap),
+        "dd_bitmap_planes": jnp.asarray(
+            bitmap_byte_planes(data.dd_train_bitmap, data.n_et, data.n_drug)
+        ),
     }
+    if dense_dtype is not None:
+        from tip_tpu.data.packing import dense_relation_adj
+
+        da = dense_relation_adj(data.dd_train, data.n_drug)
+        graph["dd_adj_t"] = jnp.asarray(da.astype(jnp.dtype(dense_dtype)))
     if data.drug_feat is not None:
         graph["drug_feat"] = jnp.asarray(data.drug_feat)
     if data.d_norm is not None:
@@ -116,16 +126,17 @@ class DDModel:
             x = graph["drug_feat"] @ x
         if "d_norm" in graph:
             x = x / graph["d_norm"][:, None]
+        dense_adj = graph.get("dd_adj_t")
         x = rgcn_apply_padded(
             params["rgcn1"], x, *dd, gs.n_drug, gs.n_et,
             backend=self.backend, axis_name=axis_name,
-            kernel_dtype=self.cfg.kernel_dtype,
+            kernel_dtype=self.cfg.kernel_dtype, dense_adj=dense_adj,
         )
         x = jax.nn.relu(x)
         x = rgcn_apply_padded(
             params["rgcn2"], x, *dd, gs.n_drug, gs.n_et,
             backend=self.backend, axis_name=axis_name,
-            kernel_dtype=self.cfg.kernel_dtype,
+            kernel_dtype=self.cfg.kernel_dtype, dense_adj=dense_adj,
         )
         return jax.nn.relu(x) if self.cfg.final_relu else x
 
@@ -153,18 +164,27 @@ class DDModel:
         ns2d, nd2d = typed_negative_sampling_chunked(
             key, graph["dd_chunk_type"], graph["dd_bitmap"], gs.n_drug,
             gs.n_et, gs.dd_chunk, backend=self.backend,
+            planes=graph.get("dd_bitmap_planes"),
         )
-        pos_l = self.score_padded(
-            params, z, graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"],
-            sigmoid=False,
-        )
+        v = graph["dd_valid"]
+        dense_adj = graph.get("dd_adj_t")
+        if dense_adj is not None and self.cfg.decoder == "distmult":
+            from tip_tpu.nn.decoders import distmult_dense_pos_bce_sum
+
+            pos_sum = distmult_dense_pos_bce_sum(
+                params["decoder"]["weight"], z, dense_adj,
+                kernel_dtype=self.cfg.kernel_dtype,
+            )
+        else:
+            pos_l = self.score_padded(
+                params, z, graph["dd_src2d"], graph["dd_dst2d"],
+                graph["dd_chunk_type"], sigmoid=False,
+            )
+            pos_sum = jnp.sum(jax.nn.softplus(-pos_l) * v)
         neg_l = self.score_padded(
             params, z, ns2d, nd2d, graph["dd_chunk_type"], sigmoid=False,
         )
-        v = graph["dd_valid"]
-        total = jnp.sum(jax.nn.softplus(-pos_l) * v) + jnp.sum(
-            jax.nn.softplus(neg_l) * v
-        )
+        total = pos_sum + jnp.sum(jax.nn.softplus(neg_l) * v)
         if axis_name is not None:
             total = jax.lax.psum(total, axis_name)
         return total / float(gs.dd_n_valid)

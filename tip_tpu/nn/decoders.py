@@ -50,6 +50,59 @@ def distmult_apply_padded(
     return jax.nn.sigmoid(logits) if sigmoid else logits
 
 
+def distmult_dense_pos_bce_sum(
+    w, z, dense_adj, kernel_dtype: str = "float32", block: int = 128,
+):
+    """sum over POSITIVE edges of softplus(-logit), from the dense relation
+    adjacency (data/packing.py:dense_relation_adj) — zero per-edge work.
+
+    The positive edge set is static, so instead of gathering z rows per edge
+    (the SDDMM path), score ALL n^2 pairs per relation as one [B, n, d] x
+    [n, d] batched matmul and weight the BCE terms by the adjacency counts:
+
+        sum_e softplus(-logit_e) = sum_t sum_{d,s} DA[t,d,s] softplus(-L_t[d,s])
+
+    Relations are processed in static blocks of ``block`` (the [B, n, n]
+    logit tile stays ~100 MB); each block is rematerialized in the backward
+    pass instead of saving its logits.  The last block is clamped to the
+    array end and stale (re-covered) leading rows are masked out.
+
+    Same value as masking the chunked SDDMM logits, up to fp reassociation
+    (tests/test_dense.py); replaces the positive half of the decoder that
+    the reference gathers per edge (reference: src/layers.py:590-592).
+    """
+    n_et, n, _ = dense_adj.shape
+    block = min(block, n_et)
+    cdt = jnp.dtype(kernel_dtype)
+    zc = z.astype(cdt)
+    mixed_ok = cdt == jnp.float32 or jax.default_backend() != "cpu"
+
+    def block_sum(wb, da, fresh):
+        zw = zc[None] * wb.astype(cdt)[:, None, :]  # [B, n, d]
+        if mixed_ok:
+            logits = jnp.einsum(
+                "tnf,mf->tnm", zw, zc, preferred_element_type=jnp.float32
+            )
+        else:  # CPU XLA lacks the bf16->f32 dot; f32 over bf16-rounded inputs
+            logits = jnp.einsum(
+                "tnf,mf->tnm", zw.astype(jnp.float32), zc.astype(jnp.float32)
+            )
+        val = jax.nn.softplus(-logits) * da.astype(jnp.float32)
+        return jnp.sum(val * fresh[:, None, None])
+
+    block_sum = jax.checkpoint(block_sum)
+    total = jnp.zeros((), jnp.float32)
+    for i in range(-(-n_et // block)):
+        start = min(i * block, n_et - block)
+        fresh = jnp.asarray(
+            (start + jnp.arange(block)) >= i * block, jnp.float32
+        )
+        total = total + block_sum(
+            w[start:start + block], dense_adj[start:start + block], fresh
+        )
+    return total
+
+
 def nn_decoder_apply_padded(
     params, z, src2d, dst2d, chunk_type, sigmoid: bool = True,
     backend: str = "xla", kernel_dtype: str = "float32",

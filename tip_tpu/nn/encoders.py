@@ -153,14 +153,17 @@ def fm_encoder_apply(
         graph["dd_src2d"], graph["dd_dst2d"], graph["dd_chunk_type"],
         graph["dd_deg"],
     )
+    dense_adj = graph.get("dd_adj_t")
     x = rgcn_apply_padded(
         params["rgcn1"], x, *dd, gs.n_drug, gs.n_et, backend=backend,
         axis_name=axis_name, kernel_dtype=cfg.kernel_dtype,
+        dense_adj=dense_adj,
     )
     x = jax.nn.relu(x)
     return rgcn_apply_padded(
         params["rgcn2"], x, *dd, gs.n_drug, gs.n_et, backend=backend,
         axis_name=axis_name, kernel_dtype=cfg.kernel_dtype,
+        dense_adj=dense_adj,
     )
 
 

@@ -130,6 +130,7 @@ def typed_negative_sampling_padded(
     rounds: int = 1,
     tail_rounds: int = 0,
     onchip_prng: bool | None = None,
+    planes=None,
 ):
     """Sample negatives for a chunk-aligned typed edge buffer, on-chip.
 
@@ -146,22 +147,28 @@ def typed_negative_sampling_padded(
     n_chunks = chunk_type.shape[0]
     stride_words = bitmap_stride_bits(n_nodes) // 32
     rows = stride_words * 4 // 128  # one byte per entry
-    words = bitmap.reshape(n_et, stride_words)
-    # little-endian byte planes stacked along rows, stored as INT8: the s8
-    # MXU path accumulates exactly into int32 at ~2x the single-pass-bf16
-    # rate (bytes land in [-128, 127] after the int8 cast; the sign bit
-    # round-trips exactly through int32 `& 0xFF`-free arithmetic because
-    # only bit tests are performed downstream).  byte address b = pair >> 3
-    # maps to (row = b >> 7, lane = b & 127).
-    tblb = (
-        jnp.stack(
-            [((words >> (8 * p)) & jnp.uint32(0xFF)) for p in range(4)],
-            axis=2,
+    if planes is not None:
+        # Precomputed at graph-pack time (sampling/negative.py:
+        # bitmap_byte_planes): the table is static per split, and rebuilding
+        # it in-step costs a full shift/mask pass over the 57 MB bitmap.
+        tblb = planes
+    else:
+        words = bitmap.reshape(n_et, stride_words)
+        # little-endian byte planes stacked along rows, stored as INT8: the
+        # s8 MXU path accumulates exactly into int32 at ~2x the
+        # single-pass-bf16 rate (bytes land in [-128, 127] after the int8
+        # cast; the sign bit round-trips exactly through int32 `& 0xFF`-free
+        # arithmetic because only bit tests are performed downstream).  byte
+        # address b = pair >> 3 maps to (row = b >> 7, lane = b & 127).
+        tblb = (
+            jnp.stack(
+                [((words >> (8 * p)) & jnp.uint32(0xFF)) for p in range(4)],
+                axis=2,
+            )
+            .reshape(n_et, rows, 128)
+            .astype(jnp.uint8)
+            .astype(jnp.int8)
         )
-        .reshape(n_et, rows, 128)
-        .astype(jnp.uint8)
-        .astype(jnp.int8)
-    )
     total_rounds = rounds + tail_rounds
     if onchip_prng is None:
         onchip_prng = jax.default_backend() == "tpu"

@@ -66,6 +66,23 @@ def build_typed_bitmap(
     return build_key_bitmap(bits, n_et * stride)
 
 
+def bitmap_byte_planes(bitmap: np.ndarray, n_et: int, n_nodes: int) -> np.ndarray:
+    """Little-endian byte planes of the bitmap as int8 [n_et, rows, 128].
+
+    This is the exact table layout the Pallas sampler kernel consumes
+    (ops/pallas_sampler.py: byte address b = pair >> 3 -> row = b >> 7,
+    lane = b & 127).  The bitmap is static per split, so building the
+    planes ONCE here (host numpy, at graph-pack time) removes a ~57 MB
+    shift/mask/reshape pipeline from every training step.
+    """
+    stride_words = bitmap_stride_bits(n_nodes) // 32
+    rows = stride_words * 4 // 128
+    words = np.ascontiguousarray(
+        np.asarray(bitmap, dtype="<u4").reshape(n_et, stride_words)
+    )
+    return words.view(np.uint8).reshape(n_et, rows, 128).astype(np.int8)
+
+
 def _collides_bitmap(pair, edge_type, bitmap, n_nodes: int):
     stride = bitmap_stride_bits(n_nodes)
     bit = edge_type.astype(jnp.int32) * stride + pair
@@ -112,18 +129,21 @@ def typed_negative_sampling_chunked(
     chunk: int,
     backend: str = "xla",
     rounds: int = 4,
+    planes=None,
 ):
     """Negatives for a chunk-aligned buffer: (src2d, dst2d) [n_chunks, chunk].
 
     'pallas' runs the on-chip sampler kernel (ops/pallas_sampler.py): one
     full-width in-VMEM round + an XLA lane-borrow pass for collisions;
     'xla' flattens to the HBM-gather path above with ``rounds`` rounds.
+    ``planes``: optional precomputed :func:`bitmap_byte_planes` table — skips
+    rebuilding it from ``bitmap`` inside the step.
     """
     if backend == "pallas":
         from tip_tpu.ops.pallas_sampler import typed_negative_sampling_padded
 
         pair = typed_negative_sampling_padded(
-            key, chunk_type, bitmap, n_nodes, n_et, chunk
+            key, chunk_type, bitmap, n_nodes, n_et, chunk, planes=planes
         )
         return pair % n_nodes, pair // n_nodes
     et_flat = jnp.repeat(chunk_type, chunk)

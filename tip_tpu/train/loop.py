@@ -74,7 +74,14 @@ def train(
     backend: str = "auto",
 ):
     """Train TIP on a packed tri-graph; returns (state, final_metrics)."""
-    graph, gs = make_graph_arrays(data)
+    from tip_tpu.train.model import dense_rgcn_feasible
+
+    dense = (
+        cfg.kernel_dtype
+        if dense_rgcn_feasible(data.n_drug, data.n_et, cfg.kernel_dtype)
+        else None
+    )
+    graph, gs = make_graph_arrays(data, dense_dtype=dense)
     model = TIP.for_data(cfg, data, gs, backend=backend)
     test = make_test_arrays(data)
 

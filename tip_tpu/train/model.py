@@ -44,6 +44,7 @@ from tip_tpu.sampling import (
     typed_negative_sampling,
     typed_negative_sampling_chunked,
 )
+from tip_tpu.sampling.negative import bitmap_byte_planes
 
 EPS = 1e-13  # loss epsilon (reference: src/layers.py:15)
 
@@ -65,11 +66,19 @@ class GraphStatic:
     ep_r_max: int = 0  # >0 => relation weights EP-sharded (parallel/ep.py)
 
 
+def dense_rgcn_feasible(n_drug: int, n_et: int, dtype: str = "bfloat16") -> bool:
+    """Whether the [n_et, n_drug, n_drug] dense relation adjacency fits a
+    sane HBM budget (~2.5 GB).  True for Decagon (1097 x 645 x 645)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return n_et * n_drug * n_drug * itemsize <= 2.5e9
+
+
 def make_graph_arrays(
     data: TriGraphData,
     dd_chunk: int = 1024,
     pp_window: int = 1024,
     pp_chunk: int = 512,
+    dense_dtype: str | None = None,
 ):
     """Pack the training graph into a device pytree + static metadata.
 
@@ -77,6 +86,12 @@ def make_graph_arrays(
     (data/packing.py:pad_typed_edges); the P-P graph is additionally
     windowed by destination for the Pallas SpMM.  Both the XLA and Pallas
     backends consume this one layout.
+
+    ``dense_dtype``: when set (e.g. the model's kernel_dtype), also ship the
+    dense per-relation adjacency ``dd_adj_t`` so the R-GCN aggregation runs
+    as one batched MXU GEMM (data/packing.py:dense_relation_adj,
+    nn/rgcn.py) — the preferred path whenever
+    :func:`dense_rgcn_feasible` holds.
     """
     padded = pad_typed_edges(data.dd_train, data.n_drug, chunk=dd_chunk)
     n_chunks = padded.chunk_type.shape[0]
@@ -93,6 +108,11 @@ def make_graph_arrays(
         "dd_chunk_type": jnp.asarray(padded.chunk_type),
         "dd_deg": jnp.asarray(data.dd_train_deg),
         "dd_bitmap": jnp.asarray(data.dd_train_bitmap),
+        # static byte-plane view of the bitmap for the Pallas sampler
+        # (sampling/negative.py:bitmap_byte_planes) — built once, not per step
+        "dd_bitmap_planes": jnp.asarray(
+            bitmap_byte_planes(data.dd_train_bitmap, data.n_et, data.n_drug)
+        ),
         # P-P, XLA COO path
         "pp_norm_index": jnp.asarray(data.pp_norm_index),
         "pp_norm_weight": jnp.asarray(data.pp_norm_weight),
@@ -106,6 +126,13 @@ def make_graph_arrays(
         "dp_dst": jnp.asarray(data.dp_edge_index[1]),
         "dp_deg": jnp.asarray(data.dp_drug_deg),
     }
+    if dense_dtype is not None:
+        from tip_tpu.data.packing import dense_relation_adj
+
+        da = dense_relation_adj(data.dd_train, data.n_drug)
+        # host-side cast (ml_dtypes handles bfloat16) so only the final
+        # compute-dtype tensor is ever transferred / resident on device
+        graph["dd_adj_t"] = jnp.asarray(da.astype(jnp.dtype(dense_dtype)))
     if data.drug_feat is not None:
         graph["drug_feat"] = jnp.asarray(data.drug_feat)
     if data.d_norm is not None:
@@ -272,6 +299,7 @@ class TIP:
         neg_src2d, neg_dst2d = typed_negative_sampling_chunked(
             key, graph["dd_chunk_type"], graph["dd_bitmap"], gs.n_drug,
             gs.n_et, gs.dd_chunk, backend=self.backend,
+            planes=graph.get("dd_bitmap_planes"),
         )
         dec_params, score_type = params, graph["dd_chunk_type"]
         if gs.ep_r_max:
@@ -281,14 +309,6 @@ class TIP:
             )
             if axis_name is not None:
                 score_type = graph["dd_chunk_type_local"]
-        pos_logits = self.score_padded(
-            dec_params, z, graph["dd_src2d"], graph["dd_dst2d"], score_type,
-            sigmoid=False,
-        )
-        neg_logits = self.score_padded(
-            dec_params, z, neg_src2d, neg_dst2d, score_type,
-            sigmoid=False,
-        )
         valid = graph["dd_valid"]
         # Stable logit-space BCE: -log(sigmoid(x)) = softplus(-x) and
         # -log(1 - sigmoid(x)) = softplus(x).  The reference computes
@@ -297,7 +317,31 @@ class TIP:
         # reassociation turns (1 - sigmoid(x)) + eps into exactly 0 for
         # saturated logits, so the probability form produces log(0) = -inf
         # on accelerators.  Verified equivalent in tests/test_model.py.
-        pos_sum = jnp.sum(jax.nn.softplus(-pos_logits) * valid)
+        dense_adj = graph.get("dd_adj_t")
+        if (
+            dense_adj is not None
+            and self.cfg.decoder == "distmult"
+            and not gs.ep_r_max
+        ):
+            # Positive edges are static: score all pairs per relation
+            # against the dense adjacency — one batched MXU GEMM, no
+            # per-edge gathers (nn/decoders.py:distmult_dense_pos_bce_sum).
+            from tip_tpu.nn.decoders import distmult_dense_pos_bce_sum
+
+            pos_sum = distmult_dense_pos_bce_sum(
+                dec_params["decoder"]["weight"], z, dense_adj,
+                kernel_dtype=self.cfg.kernel_dtype,
+            )
+        else:
+            pos_logits = self.score_padded(
+                dec_params, z, graph["dd_src2d"], graph["dd_dst2d"],
+                score_type, sigmoid=False,
+            )
+            pos_sum = jnp.sum(jax.nn.softplus(-pos_logits) * valid)
+        neg_logits = self.score_padded(
+            dec_params, z, neg_src2d, neg_dst2d, score_type,
+            sigmoid=False,
+        )
         neg_sum = jnp.sum(jax.nn.softplus(neg_logits) * valid)
         total = pos_sum + neg_sum
         if axis_name is not None:
