@@ -42,25 +42,38 @@ V5E_PEAK_BF16 = 197e12
 V5E_PEAK_F32 = V5E_PEAK_BF16 / 4
 
 
-def _step_mxu_flops(gs, cfg) -> float:
+def _step_mxu_flops(gs, cfg, dense_path: bool) -> float:
     """Matmul FLOPs executed per training step (fwd + bwd).
 
-    R-GCN aggregation runs on the dense relation adjacency
+    ``dense_path`` True (dense_rgcn_feasible held, the benched config on
+    real hardware): R-GCN aggregation runs on the dense relation adjacency
     (data/packing.py:dense_relation_adj): per layer, fwd is one batched GEMM
     [R,n,n]x[n,d] (2*R*n^2*d flops) and the dx backward the same again.  The
     decoder scores POSITIVES densely too (all n^2 pairs per relation,
     nn/decoders.py:distmult_dense_pos_bce_sum; fwd + remat + 2 grad einsums
     ~4x fwd) and NEGATIVES through the chunked one-hot SDDMM
     (ops/pallas_segment.py): fwd runs 2 gathers at [D,N]x[N,C] per chunk,
-    its backward ~2x fwd.  The basis einsums, P-P SpMM and sampler are <5%
-    combined and are ignored.
+    its backward ~2x fwd.
+
+    ``dense_path`` False (big-graph fallback): both R-GCN binning and the
+    positive decoder run the chunked one-hot kernels, whose per-chunk GEMMs
+    dominate; count those instead of the dense formulas.
+
+    The basis einsums, P-P SpMM and sampler are <5% combined, ignored.
     """
     c, n, k = gs.dd_chunk, gs.n_drug, gs.dd_n_chunks
     r = gs.n_et
-    dense = lambda d: 2.0 * r * n * n * d  # one batched GEMM, fwd
-    rgcn_fwd = dense(cfg.rgcn_in_dim) + dense(cfg.n_hid1)
-    rgcn_bwd = rgcn_fwd
-    dec_pos = 4 * dense(cfg.n_hid2)  # fwd + remat + dz/dw einsums
+    if dense_path:
+        dense = lambda d: 2.0 * r * n * n * d  # one batched GEMM, fwd
+        rgcn_fwd = dense(cfg.rgcn_in_dim) + dense(cfg.n_hid1)
+        rgcn_bwd = rgcn_fwd
+        dec_pos = 4 * dense(cfg.n_hid2)  # fwd + remat + dz/dw einsums
+    else:
+        # chunked one-hot binning: per chunk, scatter [n+1,C]x[C,d] GEMM
+        onehot = lambda d: 2.0 * (n + 1) * c * d * k
+        rgcn_fwd = onehot(cfg.rgcn_in_dim) + onehot(cfg.n_hid1)
+        rgcn_bwd = 2 * rgcn_fwd  # dx gather + one-hot grads
+        dec_pos = 3 * (4.0 * c * n * cfg.n_hid2) * k  # chunked SDDMM fwd+bwd
     dec_neg_fwd = (4.0 * c * n * cfg.n_hid2) * k
     dec_neg_bwd = 2 * dec_neg_fwd
     return rgcn_fwd + rgcn_bwd + dec_pos + dec_neg_fwd + dec_neg_bwd
@@ -104,7 +117,7 @@ def _bench_one(data, kernel_dtype: str, n_steps: int = 30):
         params, opt_state, loss = step(params, opt_state, graph, k)
     float(loss)  # forces the whole chained computation to completion
     dt = (time.time() - t0) / n_steps
-    return dt, gs, cfg
+    return dt, gs, cfg, dense is not None
 
 
 def main() -> None:
@@ -126,8 +139,8 @@ def main() -> None:
 
     results = {}
     for dtype in ("float32", "bfloat16"):
-        dt, gs, cfg = _bench_one(data, dtype)
-        flops = _step_mxu_flops(gs, cfg)
+        dt, gs, cfg, dense_path = _bench_one(data, dtype)
+        flops = _step_mxu_flops(gs, cfg, dense_path)
         peak = V5E_PEAK_F32 if dtype == "float32" else V5E_PEAK_BF16
         results[dtype] = {
             "sec_per_step": round(dt, 4),

@@ -69,3 +69,27 @@ def test_perfect_and_inverted_ranking():
     got2 = grouped_ranking_metrics(jnp.asarray(neg), jnp.asarray(pos),
                                    jnp.asarray(et), 1)
     np.testing.assert_allclose(float(got2["auroc"][0]), 0.0, atol=1e-6)
+
+
+def test_macro_average_denominator_semantics():
+    """Pin the intentional divergence from the reference on subsets with
+    empty relations: the reference divides by n_et (scoring empty relations
+    as 0, reference: src/layers.py:371); our default divides by the count of
+    valid relations.  Identical when every relation is valid."""
+    pos = np.array([0.9, 0.8], np.float32)
+    neg = np.array([0.1, 0.2], np.float32)
+    et = np.array([0, 0], np.int32)  # relations 1, 2 empty
+    got = grouped_ranking_metrics(jnp.asarray(pos), jnp.asarray(neg),
+                                  jnp.asarray(et), 3)
+    ours = macro_average(got)
+    ref = macro_average(got, denominator="n_et")
+    np.testing.assert_allclose(float(ours["auroc"]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(ref["auroc"]), 1.0 / 3, atol=1e-6)
+    # all-valid case: the two semantics coincide
+    et2 = np.array([0, 1], np.int32)
+    got2 = grouped_ranking_metrics(jnp.asarray(pos), jnp.asarray(neg),
+                                   jnp.asarray(et2), 2)
+    a = macro_average(got2)
+    b = macro_average(got2, denominator="n_et")
+    for k in ("auprc", "auroc", "ap"):
+        np.testing.assert_allclose(float(a[k]), float(b[k]), atol=1e-6)

@@ -228,3 +228,42 @@ def test_nn_decoder_padded_matches_xla(packed):
         ),
         g_pal, g_xla,
     )
+
+
+def test_sampler_two_draw_mode_reaches_off_grid_pairs():
+    """Above 4096 nodes (n^2 > 2^24) the kernel draws src and dst with two
+    independent 24-bit draws — a single 24-bit fixed-point pair draw could
+    only reach ~2^24 of the n^2 pairs (ops/pallas_sampler.py).  Verify the
+    sampled pairs land OFF the old single-draw grid."""
+    from tip_tpu.ops.pallas_sampler import typed_negative_sampling_padded
+    from tip_tpu.sampling.negative import bitmap_stride_bits
+
+    n = 4500  # n^2 ~ 20.25M > 2^24
+    n_et, chunk, n_chunks = 1, 256, 8
+    bitmap = jnp.zeros(bitmap_stride_bits(n) // 32, jnp.uint32)  # no positives
+    ct = jnp.zeros((n_chunks,), jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        pair = typed_negative_sampling_padded(
+            jax.random.key(7), ct, bitmap, n, n_et, chunk
+        )
+    pair = np.asarray(pair, np.int64).ravel()
+    assert pair.min() >= 0 and pair.max() < n * n
+    # old single-draw grid: p reachable iff some k in [0, 2^24) has
+    # floor(k * n^2 / 2^24) == p
+    g = (n * n) / float(1 << 24)
+    k0 = np.ceil(pair / g)
+    on_old_grid = k0 * g < pair + 1
+    # ~17% of pairs are off-grid at this n; require a robust margin
+    assert (~on_old_grid).mean() > 0.05
+
+
+def test_sampler_rejects_int32_overflow_nodes():
+    from tip_tpu.ops.pallas_sampler import typed_negative_sampling_padded
+
+    import pytest
+
+    with pytest.raises(ValueError, match="int32 pair"):
+        typed_negative_sampling_padded(
+            jax.random.key(0), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((8,), jnp.uint32), 50000, 1, 8,
+        )

@@ -154,6 +154,28 @@ def dense_relation_adj(edges: TypedEdges, n_nodes: int) -> np.ndarray:
     return counts.astype(np.uint16).reshape(edges.n_et, n_nodes, n_nodes)
 
 
+def cast_dense_adj(da: np.ndarray, dtype) -> np.ndarray:
+    """Cast the count adjacency to the compute dtype, verifying exactness.
+
+    The 'counts are exact in the compute dtype' contract (dense_relation_adj,
+    nn/rgcn.py) only holds while every multiplicity round-trips: bfloat16
+    represents integers exactly up to 256, float32 up to 2**24.  A lossy cast
+    would silently mis-weight the aggregation, so verify instead of assuming
+    (Decagon multiplicities are 0/1; this guards other datasets).
+    """
+    import ml_dtypes  # noqa: F401  (registers bfloat16 with numpy)
+
+    out = da.astype(dtype)
+    bad = out.astype(np.uint32) != da
+    if bad.any():
+        raise ValueError(
+            f"edge multiplicity {int(da[bad].max())} is not exactly "
+            f"representable in {np.dtype(dtype).name}; use a wider "
+            "dense_dtype or the chunked kernels"
+        )
+    return out
+
+
 def encode_keys(edges: TypedEdges, n_nodes: int) -> np.ndarray:
     """Unique int64 key per edge, encoded (type, dst, src) to match the
     sort order of :func:`sort_typed_edges` — ascending over the sorted buffer."""

@@ -116,10 +116,21 @@ def grouped_ranking_metrics(pos_score, neg_score, edge_type, n_et: int):
     }
 
 
-def macro_average(metrics):
-    """Mean over valid relations (the reference divides by n_et outright,
-    reference: src/layers.py:371 — identical when every relation is valid)."""
-    n = jnp.maximum(jnp.sum(metrics["valid"]), 1)
+def macro_average(metrics, denominator: str = "valid"):
+    """Macro-mean of the per-relation metrics.
+
+    ``denominator='valid'`` (default) averages over relations that HAVE test
+    positives and negatives.  The reference divides by n_et outright
+    (reference: src/layers.py:371, model/ddm-df_rgcn.py:139), scoring empty
+    relations as 0 — identical on the default Decagon split (all 1,097
+    relations valid, pinned by tests/test_metrics.py), lower on band
+    subsets with empty test bins; pass ``denominator='n_et'`` for that
+    exact semantics when comparing against reference records.
+    """
+    if denominator == "n_et":
+        n = metrics["valid"].shape[0]
+    else:
+        n = jnp.maximum(jnp.sum(metrics["valid"]), 1)
     return {
         k: jnp.sum(v) / n for k, v in metrics.items() if k != "valid"
     }

@@ -35,6 +35,12 @@ def main() -> None:
              "DIVERGES with mono features (epoch-0 loss ~15 -> dead ReLUs); "
              "'sqrt' is its commented alternative (line 29) that trains",
     )
+    dims = parser.add_argument_group(
+        "dims", "DDConfig dimension overrides (dr-df / dr-nn only); the "
+        "recorded reference runs used non-shipped dims, e.g. run dir "
+        "dd-rgcn-dist(16-64-32-16) = n_base 16, n_embed 64, hid 32/16")
+    for flag in ("n-embed", "n-hid1", "n-hid2", "num-base"):
+        dims.add_argument(f"--{flag}", type=int, default=None)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
@@ -80,8 +86,14 @@ def main() -> None:
         data = dataclasses.replace(
             data, d_norm=np.sqrt(data.drug_feat.sum(axis=1)).astype(np.float32)
         )
+    dim_over = {
+        name: getattr(args, name)
+        for name in ("n_embed", "n_hid1", "n_hid2", "num_base")
+        if getattr(args, name, None) is not None
+    }
     model, graph, test = build_variant(
-        args.variant, data, backend=args.backend, kernel_dtype=args.kernel_dtype
+        args.variant, data, backend=args.backend, kernel_dtype=args.kernel_dtype,
+        dims=dim_over or None,
     )
     _, result = train_variant(
         model, graph, test,

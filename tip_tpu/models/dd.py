@@ -50,7 +50,10 @@ class DDConfig:
 
 
 def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024,
-                         dense_dtype: str | None = None):
+                         dense_dtype: str | None = None,
+                         planes: bool | None = None):
+    if planes is None:
+        planes = resolve_backend("auto") == "pallas"
     padded = pad_typed_edges(data.dd_train, data.n_drug, chunk=chunk)
     n_chunks = padded.chunk_type.shape[0]
     graph = {
@@ -60,15 +63,17 @@ def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024,
         "dd_chunk_type": jnp.asarray(padded.chunk_type),
         "dd_deg": jnp.asarray(data.dd_train_deg),
         "dd_bitmap": jnp.asarray(data.dd_train_bitmap),
-        "dd_bitmap_planes": jnp.asarray(
-            bitmap_byte_planes(data.dd_train_bitmap, data.n_et, data.n_drug)
-        ),
     }
+    if planes:
+        # see make_graph_arrays: Pallas-sampler-only view, skipped on XLA
+        graph["dd_bitmap_planes"] = jnp.asarray(
+            bitmap_byte_planes(data.dd_train_bitmap, data.n_et, data.n_drug)
+        )
     if dense_dtype is not None:
-        from tip_tpu.data.packing import dense_relation_adj
+        from tip_tpu.data.packing import cast_dense_adj, dense_relation_adj
 
         da = dense_relation_adj(data.dd_train, data.n_drug)
-        graph["dd_adj_t"] = jnp.asarray(da.astype(jnp.dtype(dense_dtype)))
+        graph["dd_adj_t"] = jnp.asarray(cast_dense_adj(da, jnp.dtype(dense_dtype)))
     if data.drug_feat is not None:
         graph["drug_feat"] = jnp.asarray(data.drug_feat)
     if data.d_norm is not None:
@@ -168,7 +173,11 @@ class DDModel:
         )
         v = graph["dd_valid"]
         dense_adj = graph.get("dd_adj_t")
-        if dense_adj is not None and self.cfg.decoder == "distmult":
+        # axis_name guard: dd_adj_t is replicated under shard_map, so the
+        # dense pos_sum would be double-counted by the psum below (see
+        # TIP.loss); fall back to the chunk-sharded scoring path.
+        if dense_adj is not None and self.cfg.decoder == "distmult" \
+                and axis_name is None:
             from tip_tpu.nn.decoders import distmult_dense_pos_bce_sum
 
             pos_sum = distmult_dense_pos_bce_sum(

@@ -27,8 +27,15 @@ VARIANTS = ("dr-df", "dr-nn", "pr-hmp-nn", "pp-gae")
 
 
 def build_variant(variant: str, data: TriGraphData, backend: str = "auto",
-                  kernel_dtype: str = "float32"):
-    """Model + (graph, test) arrays for one reference experiment variant."""
+                  kernel_dtype: str = "float32", dims: Optional[dict] = None):
+    """Model + (graph, test) arrays for one reference experiment variant.
+
+    ``dims`` overrides DDConfig dimension fields (n_embed/n_hid1/n_hid2/
+    num_base) — the recorded runs behind analysis/evaluation.ipynb cell 13
+    used dims that differ from the shipped script constants (run dir
+    ``dd-rgcn-dist(16-64-32-16)`` vs model/ddm-df_rgcn.py:31-35's
+    n_base=16, n_embed=16, n_hid1=32, n_hid2=16 — one field wider).
+    """
     if variant in ("dr-df", "dr-nn"):
         from tip_tpu.train.model import make_test_arrays
 
@@ -37,6 +44,7 @@ def build_variant(variant: str, data: TriGraphData, backend: str = "auto",
         cfg = DDConfig(
             decoder="distmult" if variant == "dr-df" else "nn",
             kernel_dtype=kernel_dtype,
+            **(dims or {}),
         )
         dense = (
             kernel_dtype
@@ -75,8 +83,11 @@ def train_variant(
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
+    # ``graph`` is an explicit argument (not a closure constant): closed-over
+    # arrays are baked into the serialized program, and the dense relation
+    # adjacency (~1.6 GB) overflows remote-compile request limits.
     @jax.jit
-    def step_fn(params, opt_state, key):
+    def step_fn(params, opt_state, graph, key):
         loss, grads = jax.value_and_grad(lambda p: model.loss(p, graph, key))(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
@@ -88,7 +99,7 @@ def train_variant(
     for epoch in range(epochs):
         key, k = jax.random.split(key)
         t0 = time.time()
-        params, opt_state, loss = step_fn(params, opt_state, k)
+        params, opt_state, loss = step_fn(params, opt_state, graph, k)
         loss = float(loss)
         if not np.isfinite(loss):
             raise FloatingPointError(f"non-finite loss {loss} at epoch {epoch}")

@@ -118,12 +118,8 @@ def fm_encoder_apply(
             ring_hierarchy_apply, ring_pp_encoder_apply,
         )
 
-        if x_prot is not None:
-            raise NotImplementedError(
-                "ring P-P path supports identity protein features only"
-            )
         hp_local = ring_pp_encoder_apply(
-            params["pp"], graph, gs, axis_name, backend=backend
+            params["pp"], graph, gs, axis_name, backend=backend, x_prot=x_prot
         )
         hd = ring_hierarchy_apply(
             params["hier"], hp_local, graph, graph["dp_deg"], gs.n_drug,

@@ -90,7 +90,10 @@ def rgcn_apply_padded(
     and no per-edge work at all.  Identical math (counts are exact in the
     compute dtype; accumulation is float32).  Takes precedence over
     ``backend`` for the binning; the edge buffers are ignored here but still
-    feed the decoder/sampler.
+    feed the decoder/sampler.  Ignored under shard_map (``axis_name`` set):
+    the dense adjacency is replicated, so every device would compute the
+    FULL aggregation and the psum would multiply it by the axis size — the
+    chunked paths below partition edges by chunk and psum partial sums.
 
     ``axis_name``: when running under shard_map with the CHUNK axis sharded
     across devices, each device bins only its local edges; the basis-mixed
@@ -98,6 +101,8 @@ def rgcn_apply_padded(
     binning — is summed over devices with ONE psum (edge contributions are
     linear, so any chunk partition is valid).
     """
+    if axis_name is not None:
+        dense_adj = None  # replicated; see docstring
     if dense_adj is not None:
         # pt [n_et, d_in, n_nodes] — same transposed layout as the Pallas
         # kernel, contracted by the basis einsums directly.
@@ -116,8 +121,6 @@ def rgcn_apply_padded(
                 preferred_element_type=jnp.float32,
             )
         q = jnp.einsum("tb,tdn->bdn", params["att"], pt)
-        if axis_name is not None:
-            q = jax.lax.psum(q, axis_name)
         agg = jnp.einsum("bdn,bde->ne", q, params["basis"])
     elif backend == "pallas":
         from tip_tpu.ops.pallas_segment import typed_neighbor_sum_padded_t

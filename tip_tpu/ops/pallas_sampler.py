@@ -65,19 +65,39 @@ def _sampler_kernel(n_nodes, rounds, extra_rounds, onchip, chunk_type_ref,
     rows = tbl_ref.shape[1]
     tbl = tbl_ref[0]  # [rows, 128] int8 holding the bitmap's BYTE planes
 
-    def draw(r):
-        # 24-bit randoms: uniform over [0, n^2) WITHOUT vector integer
-        # division (the VPU has none; urem expands to a long emulation) —
-        # fixed-point scale, exact in f32, bias ~2^-24.  On chip, ``r`` only
-        # distinguishes call sites; each call advances the seeded per-core
-        # PRNG stream.
+    # A single 24-bit fixed-point draw cannot reach every pair once
+    # n^2 > 2^24 (granularity n^2/2^24 > 1): above 4096 nodes, draw src and
+    # dst with INDEPENDENT 24-bit draws (uniform over [0,n)^2 = uniform over
+    # pairs), exact for n up to 2^24 — int32 pair addressing caps n at
+    # 46340 first (guarded in the wrapper).
+    two_draws = n_nodes * n_nodes > (1 << 24)
+
+    def uniform24(r):
         if onchip:
             raw = pltpu.prng_random_bits((1, c))  # int32
-            u = jax.lax.shift_right_logical(raw, 8).astype(jnp.float32)[0]
+            return jax.lax.shift_right_logical(raw, 8).astype(jnp.float32)[0]
+        return rng_ref[0, 0, r * c:(r + 1) * c].astype(jnp.float32)
+
+    def draw(r):
+        # 24-bit randoms scaled WITHOUT vector integer division (the VPU has
+        # none; urem expands to a long emulation) — fixed-point scale, exact
+        # in f32, bias ~2^-24.  On chip, ``r`` only distinguishes call
+        # sites; each call advances the seeded per-core PRNG stream.
+        if two_draws:
+            scale = jnp.float32(n_nodes / (1 << 24))
+            src = jnp.minimum(
+                (uniform24(2 * r) * scale).astype(jnp.int32), n_nodes - 1
+            )
+            dst = jnp.minimum(
+                (uniform24(2 * r + 1) * scale).astype(jnp.int32), n_nodes - 1
+            )
+            pair = dst * n_nodes + src
         else:
-            u = rng_ref[0, 0, r * c:(r + 1) * c].astype(jnp.float32)
-        pair = (u * jnp.float32((n_nodes * n_nodes) / (1 << 24))).astype(jnp.int32)
-        pair = jnp.minimum(pair, n_nodes * n_nodes - 1)
+            u = uniform24(r)
+            pair = (u * jnp.float32((n_nodes * n_nodes) / (1 << 24))).astype(
+                jnp.int32
+            )
+            pair = jnp.minimum(pair, n_nodes * n_nodes - 1)
         byte_addr = pair >> 3
         row = byte_addr >> 7
         lane = byte_addr & 127
@@ -144,6 +164,12 @@ def typed_negative_sampling_padded(
     fallback pre-draws bits with jax.random and streams them in).
     Returns pair [n_chunks, chunk] int32 with pair = dst * n_nodes + src.
     """
+    if n_nodes > 46340:  # floor(sqrt(2^31 - 1))
+        raise ValueError(
+            f"n_nodes={n_nodes}: int32 pair encoding (dst * n + src) "
+            "overflows; the Pallas sampler needs 64-bit keys for graphs "
+            "this large — use the XLA sampler path"
+        )
     n_chunks = chunk_type.shape[0]
     stride_words = bitmap_stride_bits(n_nodes) // 32
     rows = stride_words * 4 // 128  # one byte per entry
@@ -170,6 +196,8 @@ def typed_negative_sampling_padded(
             .astype(jnp.int8)
         )
     total_rounds = rounds + tail_rounds
+    # two 24-bit draws per candidate above 4096 nodes (see _sampler_kernel)
+    draws_per_round = 2 if n_nodes * n_nodes > (1 << 24) else 1
     if onchip_prng is None:
         onchip_prng = jax.default_backend() == "tpu"
     if onchip_prng:
@@ -183,14 +211,14 @@ def typed_negative_sampling_padded(
     else:
         # Fallback for backends without the in-kernel PRNG (CPU interpret
         # mode): pre-draw 24-bit candidates with the jax stream.
+        n_words = draws_per_round * total_rounds * chunk
         rng_arg = (
-            jax.random.bits(key, (n_chunks, 1, total_rounds * chunk), jnp.uint32)
-            >> 8
+            jax.random.bits(key, (n_chunks, 1, n_words), jnp.uint32) >> 8
         ).astype(jnp.int32)
         rng_prefetch = 0
         rng_in_specs = [
             pl.BlockSpec(
-                (1, 1, total_rounds * chunk), lambda i, ct: (i, 0, 0),
+                (1, 1, n_words), lambda i, ct: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ]

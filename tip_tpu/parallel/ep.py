@@ -126,12 +126,20 @@ def _scatter_rows(full: np.ndarray, part: RelationPartition) -> np.ndarray:
     return out
 
 
+# Relation-indexed (row-per-relation) decoder leaves by decoder family:
+# DistMult ``weight [n_et, d]`` (nn/decoders.py:distmult_init), NN decoder
+# ``w1_l2/w2_l2 [n_et, l1]`` (nn/decoders.py:nn_decoder_init — the shared L1
+# matrices stay replicated).
+_DECODER_REL_LEAVES = ("weight", "w1_l2", "w2_l2")
+
+
 def ep_params(params: dict, part: RelationPartition) -> dict:
     """Re-lay relation-indexed parameter rows into per-device shards.
 
-    att [n_et, B] -> [n_dev, r_max, B]; decoder weight [n_et, d] ->
-    [n_dev, r_max, d].  Shard these leaves with PartitionSpec(EDGE_AXIS) —
-    see :func:`ep_param_specs`.
+    att [n_et, B] -> [n_dev, r_max, B]; decoder relation rows [n_et, d] ->
+    [n_dev, r_max, d] (both decoder families — see _DECODER_REL_LEAVES).
+    Shard these leaves with PartitionSpec(EDGE_AXIS) — see
+    :func:`ep_param_specs`.
     """
     import jax
 
@@ -144,9 +152,13 @@ def ep_params(params: dict, part: RelationPartition) -> dict:
     out = dict(p)
     out["encoder"] = enc
     dec = dict(p["decoder"])
-    if "weight" not in dec:
-        raise NotImplementedError("EP sharding supports the DistMult decoder")
-    dec["weight"] = _scatter_rows(dec["weight"], part)
+    rel = [k for k in _DECODER_REL_LEAVES if k in dec]
+    if not rel:
+        raise ValueError(
+            f"no relation-indexed decoder leaves among {sorted(dec)}"
+        )
+    for k in rel:
+        dec[k] = _scatter_rows(dec[k], part)
     out["decoder"] = dec
     return jax.tree.map(jnp.asarray, out)
 
@@ -162,7 +174,9 @@ def unep_params(params: dict, part: RelationPartition) -> dict:
         layer["att"] = layer["att"][part.dev_of_rel, part.local_id]
         enc[name] = layer
     dec = dict(p["decoder"])
-    dec["weight"] = dec["weight"][part.dev_of_rel, part.local_id]
+    for k in _DECODER_REL_LEAVES:
+        if k in dec:
+            dec[k] = dec[k][part.dev_of_rel, part.local_id]
     out = dict(p)
     out["encoder"], out["decoder"] = enc, dec
     return jax.tree.map(jnp.asarray, out)
@@ -176,7 +190,9 @@ def ep_param_specs(params: dict, axis: str):
 
     def spec(path, _):
         keys = tuple(getattr(k, "key", None) for k in path)
-        if keys[-1] == "att" or (keys[0] == "decoder" and keys[-1] == "weight"):
+        if keys[-1] == "att" or (
+            keys[0] == "decoder" and keys[-1] in _DECODER_REL_LEAVES
+        ):
             return P(axis)
         return P()
 

@@ -186,13 +186,16 @@ def local_rows(x, axis_name: str, n_shards: int, n_local: int):
 
 
 def ring_pp_encoder_apply(params, graph, gs, axis_name: str,
-                          backend: str = "xla"):
+                          backend: str = "xla", x_prot=None):
     """Row-sharded 2-layer P-P GCN; returns hp_local [n_local, pp_hid2].
 
-    Identity protein features (the default data path, reference:
-    prepare.py:22-23): layer 1's weight matrix IS the per-protein activation
-    table, so each chip slices its own weight rows and no feature matmul
-    happens (same fast path as nn/gcn.py:gcn_conv_apply with x=None).
+    Identity protein features (``x_prot=None``, the default data path,
+    reference: prepare.py:22-23): layer 1's weight matrix IS the per-protein
+    activation table, so each chip slices its own weight rows and no feature
+    matmul happens (same fast path as nn/gcn.py:gcn_conv_apply with x=None).
+    With a feature matrix, each chip projects only its own row shard —
+    ``local_rows(x_prot) @ W1`` — before the ring; the full [n_prot, d]
+    activation is still never materialized on one chip.
 
     backend 'pallas' rotates the activation shard with the in-kernel remote
     DMA ring (ops/pallas_ring.py, overlap owned by the kernel); 'xla' uses
@@ -207,7 +210,10 @@ def ring_pp_encoder_apply(params, graph, gs, axis_name: str,
     else:
         spmm = lambda h: ring_spmm(h, *blocks, n_local=n_local,
                                    axis_name=axis_name)
-    h = local_rows(params["conv1"]["weight"], axis_name, k, n_local)
+    if x_prot is None:
+        h = local_rows(params["conv1"]["weight"], axis_name, k, n_local)
+    else:
+        h = local_rows(x_prot, axis_name, k, n_local) @ params["conv1"]["weight"]
     h = spmm(h)
     h = jax.nn.relu(h + params["conv1"]["bias"])
     h = h @ params["conv2"]["weight"]

@@ -22,6 +22,12 @@ def main() -> None:
     )
     parser.add_argument("--mono", action="store_true",
                         help="use mono side-effect drug features")
+    parser.add_argument(
+        "--feat-norm", choices=["ones", "sqrt"], default="ones",
+        help="drug-feature row normalization: 'ones' = the reference's "
+             "shipped d_norm (prepare.py:25); 'sqrt' = the commented "
+             "sqrt-row-sum alternative (model/ddm-df_rgcn.py:29)",
+    )
     parser.add_argument("--synthetic", action="store_true", help="tiny random graph")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument(
@@ -64,6 +70,14 @@ def main() -> None:
             kw["mono"] = True
         raw = load_decagon_raw(**kw)
         data = cached_trigraph(raw, split_rate=tcfg.split_rate, seed=tcfg.seed)
+    if args.feat_norm == "sqrt" and data.drug_feat is not None:
+        import dataclasses
+
+        import numpy as np
+
+        data = dataclasses.replace(
+            data, d_norm=np.sqrt(data.drug_feat.sum(axis=1)).astype(np.float32)
+        )
     _, result = train(
         cfg, tcfg, data, profile_dir=args.profile_dir, backend=args.backend
     )

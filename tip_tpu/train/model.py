@@ -79,6 +79,7 @@ def make_graph_arrays(
     pp_window: int = 1024,
     pp_chunk: int = 512,
     dense_dtype: str | None = None,
+    planes: bool | None = None,
 ):
     """Pack the training graph into a device pytree + static metadata.
 
@@ -93,6 +94,11 @@ def make_graph_arrays(
     nn/rgcn.py) — the preferred path whenever
     :func:`dense_rgcn_feasible` holds.
     """
+    # The Pallas sampler's byte-plane bitmap view is ~n_et * n_drug * 8 bytes
+    # at Decagon scale — only build/ship it when that backend can run
+    # (``planes`` None = auto by platform; the XLA sampler ignores planes).
+    if planes is None:
+        planes = resolve_backend("auto") == "pallas"
     padded = pad_typed_edges(data.dd_train, data.n_drug, chunk=dd_chunk)
     n_chunks = padded.chunk_type.shape[0]
     wpp = pad_windowed_edges(
@@ -108,11 +114,6 @@ def make_graph_arrays(
         "dd_chunk_type": jnp.asarray(padded.chunk_type),
         "dd_deg": jnp.asarray(data.dd_train_deg),
         "dd_bitmap": jnp.asarray(data.dd_train_bitmap),
-        # static byte-plane view of the bitmap for the Pallas sampler
-        # (sampling/negative.py:bitmap_byte_planes) — built once, not per step
-        "dd_bitmap_planes": jnp.asarray(
-            bitmap_byte_planes(data.dd_train_bitmap, data.n_et, data.n_drug)
-        ),
         # P-P, XLA COO path
         "pp_norm_index": jnp.asarray(data.pp_norm_index),
         "pp_norm_weight": jnp.asarray(data.pp_norm_weight),
@@ -126,13 +127,19 @@ def make_graph_arrays(
         "dp_dst": jnp.asarray(data.dp_edge_index[1]),
         "dp_deg": jnp.asarray(data.dp_drug_deg),
     }
+    if planes:
+        # static byte-plane view of the bitmap for the Pallas sampler
+        # (sampling/negative.py:bitmap_byte_planes) — built once, not per step
+        graph["dd_bitmap_planes"] = jnp.asarray(
+            bitmap_byte_planes(data.dd_train_bitmap, data.n_et, data.n_drug)
+        )
     if dense_dtype is not None:
-        from tip_tpu.data.packing import dense_relation_adj
+        from tip_tpu.data.packing import cast_dense_adj, dense_relation_adj
 
         da = dense_relation_adj(data.dd_train, data.n_drug)
-        # host-side cast (ml_dtypes handles bfloat16) so only the final
-        # compute-dtype tensor is ever transferred / resident on device
-        graph["dd_adj_t"] = jnp.asarray(da.astype(jnp.dtype(dense_dtype)))
+        # host-side exactness-checked cast so only the final compute-dtype
+        # tensor is ever transferred / resident on device
+        graph["dd_adj_t"] = jnp.asarray(cast_dense_adj(da, jnp.dtype(dense_dtype)))
     if data.drug_feat is not None:
         graph["drug_feat"] = jnp.asarray(data.drug_feat)
     if data.d_norm is not None:
@@ -239,11 +246,20 @@ class TIP:
         return out, graph, gs
 
     def _ep_decoder_view(self, dec_params, graph, axis_name):
-        """Same resolution for the relation-row decoder weight."""
-        w = dec_params["weight"]
+        """Same resolution for the relation-row decoder leaves (DistMult
+        ``weight``; NN decoder ``w1_l2``/``w2_l2`` — parallel/ep.py)."""
+        from tip_tpu.parallel.ep import _DECODER_REL_LEAVES
+
         if axis_name is not None:
-            return dict(dec_params, weight=w[0])
-        return dict(dec_params, weight=w.reshape(-1, w.shape[-1])[graph["ep_slot"]])
+            fix = lambda w: w[0]
+        else:
+            slot = graph["ep_slot"]
+            fix = lambda w: w.reshape(-1, w.shape[-1])[slot]
+        return dict(
+            dec_params,
+            **{k: fix(dec_params[k]) for k in _DECODER_REL_LEAVES
+               if k in dec_params},
+        )
 
     def encode(self, params, graph, remat: bool = False, axis_name=None):
         """Drug embeddings z [n_drug, n_hid2] from the training graph.
@@ -322,6 +338,10 @@ class TIP:
             dense_adj is not None
             and self.cfg.decoder == "distmult"
             and not gs.ep_r_max
+            # Under shard_map dd_adj_t is replicated: the dense pos_sum would
+            # be computed in full on every device and the psum below would
+            # multiply it by the axis size.  Use the chunk-sharded path.
+            and axis_name is None
         ):
             # Positive edges are static: score all pairs per relation
             # against the dense adjacency — one batched MXU GEMM, no
