@@ -13,7 +13,10 @@ chunks at the default chunk size, 19,081 protein rows), asserting:
 This is the real-scale counterpart of __graft_entry__.dryrun_multichip
 (which uses a small synthetic graph so the driver can run it fast).
 
-Usage: python scripts/verify_sharded_real.py  (takes several minutes on CPU)
+Usage: python scripts/verify_sharded_real.py [out.json]
+(takes several minutes on CPU; writes the parity numbers, chunk balance,
+step times and eval to the JSON artifact — default
+runs/verify_sharded_real.json)
 """
 
 import os
@@ -52,6 +55,11 @@ from tip_tpu.train.model import TIP, make_graph_arrays, make_test_arrays
 
 
 def main() -> None:
+    import json
+    import sys
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "runs/verify_sharded_real.json"
+    art = {}
     n_dev = len(jax.devices())
     data = cached_trigraph(load_decagon_raw(), seed=1111)
     graph, gs = make_graph_arrays(data)
@@ -73,6 +81,12 @@ def main() -> None:
     )
     print(f"devices={n_dev} chunks/dev={balance} r_max={part.r_max} "
           f"(R={rgs.n_et})")
+    art.update(
+        n_devices=n_dev, n_et=int(rgs.n_et), n_chunks=int(egs.dd_n_chunks),
+        dd_chunk=int(gs.dd_chunk), n_valid_edges=int(gs.dd_n_valid),
+        chunks_per_device=[int(x) for x in balance], ep_r_max=int(part.r_max),
+        pp_ring_shards=int(rgs.pp_ring_shards), n_prot=int(gs.n_prot),
+    )
 
     z1 = np.asarray(jax.jit(model.encode)(params, graph))
     z2 = np.asarray(
@@ -88,26 +102,36 @@ def main() -> None:
     err = float(np.max(np.abs(z1 - z2)))
     print(f"ring+EP encode vs replicated: max abs err {err:.2e}")
     assert err < 2e-4, err
+    art["encode_max_abs_err"] = err
 
     eparams = place_params(eparams, mesh, specs)
     opt = optax.adam(0.01)
     opt_state = opt.init(eparams)
     step = make_sharded_train_step(emodel, opt, mesh, param_specs=specs)
-    losses = []
+    losses, step_secs = [], []
     for i in range(4):
         t0 = time.time()
         eparams, opt_state, loss = step(
             eparams, opt_state, egraph_p, jax.random.key(i + 1)
         )
         losses.append(float(loss))
-        print(f"step {i}: loss {losses[-1]:.4f} ({time.time() - t0:.1f}s)")
+        step_secs.append(round(time.time() - t0, 2))
+        print(f"step {i}: loss {losses[-1]:.4f} ({step_secs[-1]:.1f}s)")
     assert abs(losses[0] - 2 * np.log(2)) < 0.02, losses
     assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
+    art["losses"] = [round(x, 6) for x in losses]
+    art["step_secs_cpu_virtual_mesh"] = step_secs
 
     test = make_test_arrays(data)
     tn = jax.jit(emodel.sample_test_negatives)(jax.random.key(99), test)
     _, avg = jax.jit(emodel.evaluate)(eparams, egraph_p, test, tn)
-    print("post-shard eval:", {k: round(float(v), 4) for k, v in avg.items()})
+    avg = {k: round(float(v), 4) for k, v in avg.items()}
+    print("post-shard eval:", avg)
+    art["eval_after_4_steps"] = avg
+    art["ok"] = True
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"artifact -> {out_path}")
     print("OK")
 
 
