@@ -85,13 +85,9 @@ def _bench_one(data, kernel_dtype: str, n_steps: int = 30):
     from tip_tpu.config import ModelConfig
     from tip_tpu.train.model import TIP, make_graph_arrays
 
-    from tip_tpu.train.model import dense_rgcn_feasible
+    from tip_tpu.train.model import preferred_dense_dtype
 
-    dense = (
-        kernel_dtype
-        if dense_rgcn_feasible(data.n_drug, data.n_et, kernel_dtype)
-        else None
-    )
+    dense = preferred_dense_dtype(data, kernel_dtype)
     graph, gs = make_graph_arrays(data, dense_dtype=dense)
     cfg = ModelConfig.tip_cat(kernel_dtype=kernel_dtype)
     model = TIP.for_data(cfg, data, gs, backend="auto")

@@ -26,7 +26,11 @@ kd = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
 dense = len(sys.argv) > 2 and sys.argv[2] == "dense"
 raw = load_decagon_raw()
 data = cached_trigraph(raw, split_rate=0.9, seed=1111)
-graph, gs = make_graph_arrays(data, dense_dtype=kd if dense else None)
+from tip_tpu.train.model import preferred_dense_dtype
+
+graph, gs = make_graph_arrays(
+    data, dense_dtype=preferred_dense_dtype(data, kd) if dense else None
+)
 model = TIP.for_data(ModelConfig.tip_cat(kernel_dtype=kd), data, gs,
                      backend="auto")
 print(f"backend={model.backend} kernel_dtype={kd} dense={dense}")
@@ -76,14 +80,18 @@ lossf = jax.jit(lambda p, g, k, a: model.loss(
      "decoder": p["decoder"]}, g, k))
 print(f"loss fwd          {slope(lambda i, a: lossf(params, graph, jax.random.key(i), a)):8.2f} ms")
 
-gradf = jax.jit(lambda p, g, k, a: jax.value_and_grad(
+# grads folded into the scalar so the backward pass isn't dead code
+def _with_grads(v, gr):
+    return v + 1e-20 * sum(jnp.sum(x) for x in jax.tree.leaves(gr))
+
+gradf = jax.jit(lambda p, g, k, a: _with_grads(*jax.value_and_grad(
     lambda q: model.loss(q, g, k))(
     {"encoder": jax.tree.map(lambda x: x + a * 0, p["encoder"]),
-     "decoder": p["decoder"]})[0])
+     "decoder": p["decoder"]})))
 print(f"loss fwd+bwd      {slope(lambda i, a: gradf(params, graph, jax.random.key(i), a)):8.2f} ms")
 
-encg = jax.jit(lambda p, g, a: jax.value_and_grad(
+encg = jax.jit(lambda p, g, a: _with_grads(*jax.value_and_grad(
     lambda q: jnp.sum(model.encode(q, g)))(
     {"encoder": jax.tree.map(lambda x: x + a * 0, p["encoder"]),
-     "decoder": p["decoder"]})[0])
+     "decoder": p["decoder"]})))
 print(f"encode fwd+bwd    {slope(lambda i, a: encg(params, graph, a)):8.2f} ms")

@@ -176,6 +176,22 @@ def cast_dense_adj(da: np.ndarray, dtype) -> np.ndarray:
     return out
 
 
+def max_multiplicity(edges: TypedEdges, n_nodes: int) -> int:
+    """Largest (type, dst, src) duplicate count in a SORTED edge buffer.
+
+    Drives the dense-adjacency dtype choice (train/model.py:
+    preferred_dense_dtype): counts are exact in bfloat16 up to 256 and in
+    float32 up to 2**24.  O(E) over the encoded keys — duplicates are
+    adjacent runs because the buffer is (type, dst, src)-sorted.
+    """
+    keys = encode_keys(edges, n_nodes)
+    if keys.size == 0:
+        return 0
+    change = np.flatnonzero(np.diff(keys)) + 1
+    bounds = np.concatenate([[0], change, [keys.size]])
+    return int(np.max(np.diff(bounds)))
+
+
 def encode_keys(edges: TypedEdges, n_nodes: int) -> np.ndarray:
     """Unique int64 key per edge, encoded (type, dst, src) to match the
     sort order of :func:`sort_typed_edges` — ascending over the sorted buffer."""

@@ -39,19 +39,16 @@ def build_variant(variant: str, data: TriGraphData, backend: str = "auto",
     if variant in ("dr-df", "dr-nn"):
         from tip_tpu.train.model import make_test_arrays
 
-        from tip_tpu.train.model import dense_rgcn_feasible
+        from tip_tpu.train.model import preferred_dense_dtype
 
         cfg = DDConfig(
             decoder="distmult" if variant == "dr-df" else "nn",
             kernel_dtype=kernel_dtype,
             **(dims or {}),
         )
-        dense = (
-            kernel_dtype
-            if dense_rgcn_feasible(data.n_drug, data.n_et, kernel_dtype)
-            else None
+        graph, gs = make_dd_graph_arrays(
+            data, dense_dtype=preferred_dense_dtype(data, kernel_dtype)
         )
-        graph, gs = make_dd_graph_arrays(data, dense_dtype=dense)
         model = DDModel.for_data(cfg, gs, backend=backend)
         return model, graph, make_test_arrays(data)
     if variant == "pr-hmp-nn":

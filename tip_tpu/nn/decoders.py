@@ -30,14 +30,17 @@ def distmult_apply_padded(
 ):
     """Chunk-aligned variant returning flat scores [n_chunks * chunk].
 
-    'pallas' runs the fused SDDMM kernel (no [E, d] intermediates — the XLA
-    path materializes several, 8x-padded on TPU; see ops/pallas_segment.py).
+    'pallas' runs the fused two-level-gather SDDMM kernel (no [E, d]
+    intermediates — the XLA path materializes several, 8x-padded on TPU;
+    see ops/pallas_sddmm2.py; measured 10.7 ms fwd+bwd vs 24.3 for the
+    full-axis one-hot v1 and 328 for the XLA gather path at Decagon scale,
+    runs/decoder_ab_float32.json).
     """
     if backend == "pallas":
-        from tip_tpu.ops.pallas_segment import distmult_logits_padded
+        from tip_tpu.ops.pallas_sddmm2 import distmult_logits_padded2
 
-        logits = distmult_logits_padded(
-            z, params["weight"], src2d, dst2d, chunk_type,
+        logits = distmult_logits_padded2(
+            z, params["weight"], src2d, dst2d, chunk_type, z.shape[0],
             jnp.dtype(kernel_dtype),
         ).reshape(-1)
     else:

@@ -74,14 +74,11 @@ def train(
     backend: str = "auto",
 ):
     """Train TIP on a packed tri-graph; returns (state, final_metrics)."""
-    from tip_tpu.train.model import dense_rgcn_feasible
+    from tip_tpu.train.model import preferred_dense_dtype
 
-    dense = (
-        cfg.kernel_dtype
-        if dense_rgcn_feasible(data.n_drug, data.n_et, cfg.kernel_dtype)
-        else None
+    graph, gs = make_graph_arrays(
+        data, dense_dtype=preferred_dense_dtype(data, cfg.kernel_dtype)
     )
-    graph, gs = make_graph_arrays(data, dense_dtype=dense)
     model = TIP.for_data(cfg, data, gs, backend=backend)
     test = make_test_arrays(data)
 

@@ -73,6 +73,33 @@ def dense_rgcn_feasible(n_drug: int, n_et: int, dtype: str = "bfloat16") -> bool
     return n_et * n_drug * n_drug * itemsize <= 2.5e9
 
 
+def preferred_dense_dtype(data: TriGraphData, kernel_dtype: str = "float32"):
+    """Storage dtype for the dense relation adjacency, or None if infeasible.
+
+    Prefers **bfloat16 regardless of the kernel dtype**: it halves the
+    adjacency's HBM footprint and streaming traffic (the dominant encoder
+    cost at Decagon scale), and is numerically FREE for the float32 path —
+    the adjacency holds small integer counts (exact in bf16 up to 256, so
+    exactness is verified, not assumed), and JAX's default-precision f32
+    matmul already rounds MXU inputs to bf16: encoder outputs measured
+    bit-identical between f32 and bf16 adjacency storage
+    (runs/probe_bf16da.out; encode fwd+bwd 38.4 -> 32.9 ms, dense positive
+    BCE fwd+bwd 15.5 -> 8.2 ms).
+    """
+    from tip_tpu.data.packing import max_multiplicity
+
+    limit = {"bfloat16": 256, "float32": 2**24}
+    m = None
+    for cand in ("bfloat16", str(kernel_dtype)):
+        if not dense_rgcn_feasible(data.n_drug, data.n_et, cand):
+            continue
+        if m is None:
+            m = max_multiplicity(data.dd_train, data.n_drug)
+        if m <= limit.get(cand, 0):
+            return cand
+    return None
+
+
 def make_graph_arrays(
     data: TriGraphData,
     dd_chunk: int = 1024,
