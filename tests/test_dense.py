@@ -42,6 +42,10 @@ def test_dense_encode_and_grad_parity(small_data):
     kw = dict(dd_chunk=64, pp_window=128, pp_chunk=64)
     g0, gs = make_graph_arrays(data, **kw)
     g1, _ = make_graph_arrays(data, dense_dtype="float32", **kw)
+    # strict f32 parity targets the dense R-GCN binning; the dense P-P path
+    # rounds its streamed operand to bf16 by design (nn/gcn.py) and has its
+    # own tolerance test (tests/test_pp_dense.py) — drop it here
+    g1 = {k: v for k, v in g1.items() if k not in ("pp_a1", "pp_dinv")}
     m = TIP.for_data(ModelConfig.tip_cat(), data, gs, backend="xla")
     p = m.init(jax.random.key(0))
     z0 = jax.jit(m.encode)(p, g0)

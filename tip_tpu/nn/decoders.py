@@ -121,11 +121,11 @@ def nn_decoder_apply_padded(
     h1 = jax.nn.relu(z @ params["w1_l1"])
     h2 = jax.nn.relu(z @ params["w2_l1"])
     if backend == "pallas":
-        from tip_tpu.ops.pallas_segment import nn_logits_padded
+        from tip_tpu.ops.pallas_sddmm2 import nn_logits_padded2
 
-        logits = nn_logits_padded(
+        logits = nn_logits_padded2(
             h1, h2, params["w1_l2"], params["w2_l2"], src2d, dst2d, chunk_type,
-            jnp.dtype(kernel_dtype),
+            z.shape[0], jnp.dtype(kernel_dtype),
         ).reshape(-1)
     else:
         # dense (node, relation) score tables + scalar gathers — see

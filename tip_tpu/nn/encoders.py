@@ -48,6 +48,15 @@ def pp_encoder_apply(params, x_prot, norm_index, norm_weight, n_prot: int):
     return gcn_conv_apply(params["conv2"], h, norm_index, norm_weight, n_prot)
 
 
+def pp_encoder_apply_dense(params, x_prot, a1, dinv):
+    """Dense-adjacency P-P path (nn/gcn.py:gcn_conv_apply_dense)."""
+    from tip_tpu.nn.gcn import gcn_conv_apply_dense
+
+    h = gcn_conv_apply_dense(params["conv1"], x_prot, a1, dinv)
+    h = jax.nn.relu(h)
+    return gcn_conv_apply_dense(params["conv2"], h, a1, dinv)
+
+
 def pp_encoder_apply_windowed(params, x_prot, graph, gs, kernel_dtype="float32"):
     """Pallas windowed-SpMM path over the pre-windowed P-P buffers."""
     from tip_tpu.nn.gcn import gcn_conv_apply_windowed
@@ -126,7 +135,14 @@ def fm_encoder_apply(
             axis_name,
         )
     else:
-        if backend == "pallas":
+        if "pp_a1" in graph:
+            # Dense bf16 (A+I) GEMM — preferred whenever shipped
+            # (train/model.py:make_graph_arrays): 4x fewer FLOPs than the
+            # windowed one-hot scatter at full MXU shapes.
+            hp = pp_encoder_apply_dense(
+                params["pp"], x_prot, graph["pp_a1"], graph["pp_dinv"]
+            )
+        elif backend == "pallas":
             hp = pp_encoder_apply_windowed(
                 params["pp"], x_prot, graph, gs, kernel_dtype=cfg.kernel_dtype
             )

@@ -38,6 +38,40 @@ def gcn_conv_apply(params, x, norm_index, norm_weight, n_nodes: int):
     return out
 
 
+def gcn_conv_apply_dense(params, x, a1, dinv):
+    """Dense-adjacency GCN layer: out = dinv * ((A+I) @ (dinv * (x W))).
+
+    ``a1`` is the EXACT 0/1 dense (A+I) in bf16 and ``dinv`` the f32
+    D^-1/2 diagonal (data/packing.py:dense_pp_parts) — same math as the
+    cached-normalization SpMM, with the non-representable edge weights
+    factored out of the bf16 operand.  One [N, N] x [N, d] MXU matmul
+    replaces the windowed one-hot scatter (4x fewer FLOPs at Decagon
+    scale, full systolic shapes).
+    """
+    h = params["weight"] if x is None else x @ params["weight"]
+    hm = h * dinv[:, None]
+    # Cast the SMALL operand down (dtype promotion the other way would
+    # materialize a [N, N] f32 copy of the adjacency); default-precision
+    # f32 matmuls round MXU inputs to bf16 anyway, so this is numerically
+    # the same as an all-f32 dot on TPU.
+    if a1.dtype != jnp.float32 and jax.default_backend() == "cpu":
+        # CPU XLA lacks the mixed bf16->f32 dot; f32 over bf16-rounded
+        # inputs matches the TPU bf16-input / f32-accumulate path.
+        agg = jnp.einsum(
+            "ds,sf->df", a1.astype(jnp.float32),
+            hm.astype(a1.dtype).astype(jnp.float32),
+        )
+    else:
+        agg = jnp.einsum(
+            "ds,sf->df", a1, hm.astype(a1.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    out = agg * dinv[:, None]
+    if "bias" in params:
+        out = out + params["bias"]
+    return out
+
+
 def gcn_conv_apply_windowed(
     params, x, wsrc2d, wdstl2d, ww2d, chunk_window, n_windows: int,
     window: int, n_nodes: int, kernel_dtype: str = "float32",

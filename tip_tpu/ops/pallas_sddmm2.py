@@ -268,3 +268,211 @@ def _dm2_vjp_bwd(n_nodes, compute_dtype, res, g2d):
 
 
 distmult_logits_padded2.defvjp(_dm2_vjp_fwd, _dm2_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# NN decoder with the same two-level gather/scatter decomposition
+# ---------------------------------------------------------------------------
+#
+#   logits_e = sum_l h1[src_e, l] w1[et_e, l] + sum_l h2[dst_e, l] w2[et_e, l]
+#
+# (reference NNDecoder: src/layers.py:620-631).  Each endpoint term is half a
+# DistMult SDDMM; the forward saves the gathered h1[src]/h2[dst] rows as
+# residuals for dw, and the backward's dh scatters don't need them at all
+# (dh1[src] += g * w1[t]).
+
+
+def _nn2_fwd_kernel(nb, chunk_type_ref, src_ref, dst_ref, h1_ref, h2_ref,
+                    w1_ref, w2_ref, out_ref, hs_ref, hd_ref):
+    dtype = h1_ref.dtype
+    d = w1_ref.shape[-1]
+    hs = _gather2(h1_ref, src_ref[0, 0, :], nb, d, dtype)  # [L, C] f32
+    hd = _gather2(h2_ref, dst_ref[0, 0, :], nb, d, dtype)
+    out_ref[0, 0, :] = jnp.sum(
+        hs * w1_ref[0, 0][:, None] + hd * w2_ref[0, 0][:, None], axis=0
+    )
+    hs_ref[0] = hs.astype(dtype)
+    hd_ref[0] = hd.astype(dtype)
+
+
+def _nn2_fwd(h1_2t, h2_2t, w1, w2, src2d, dst2d, chunk_type, compute_dtype):
+    n_chunks, chunk = src2d.shape
+    nbd, _ = h1_2t.shape
+    n_et, d = w1.shape
+    nb = nbd // d
+    src3d = src2d.reshape(n_chunks, 1, chunk)
+    dst3d = dst2d.reshape(n_chunks, 1, chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h1_2t whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h2_2t whole
+            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    cdt = jnp.dtype(compute_dtype)
+    out3d, hs_all, hd_all = pl.pallas_call(
+        functools.partial(_nn2_fwd_kernel, nb),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chunks, 1, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, d, chunk), cdt),
+            jax.ShapeDtypeStruct((n_chunks, d, chunk), cdt),
+        ),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_chunks * chunk * LANE * nbd,
+            bytes_accessed=n_chunks * chunk * (12 + 4 * d),
+            transcendentals=0,
+        ),
+    )(
+        chunk_type, src3d, dst3d, h1_2t.astype(cdt), h2_2t.astype(cdt),
+        w1.reshape(n_et, 1, d), w2.reshape(n_et, 1, d),
+    )
+    return out3d.reshape(n_chunks, chunk), hs_all, hd_all
+
+
+def _nn2_bwd_kernel(nb, chunk_type_ref, src_ref, dst_ref, g_ref, hs_ref,
+                    hd_ref, w1_ref, w2_ref, dh1_ref, dh2_ref, dw1_ref, dw2_ref):
+    i = pl.program_id(0)
+    t = chunk_type_ref[i]
+    prev_t = chunk_type_ref[jnp.maximum(i - 1, 0)]
+    first_visit = jnp.logical_or(i == 0, prev_t != t)
+    dtype = hs_ref.dtype
+    g = g_ref[0, 0][None, :]  # [1, C]
+
+    def scatter(ids, dht):
+        hi, lo = _hi_lo(ids)
+        et = jnp.concatenate(
+            [dht * (hi == h)[None, :] for h in range(nb)], axis=0
+        ).astype(dtype)
+        oh = _oh_t(lo, dtype)
+        return jax.lax.dot_general(
+            et, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dh1 = scatter(src_ref[0, 0, :], g * w1_ref[0, 0][:, None])
+    dh2 = scatter(dst_ref[0, 0, :], g * w2_ref[0, 0][:, None])
+
+    @pl.when(i == 0)
+    def _():
+        dh1_ref[:] = dh1
+        dh2_ref[:] = dh2
+
+    @pl.when(i != 0)
+    def _():
+        dh1_ref[:] += dh1
+        dh2_ref[:] += dh2
+
+    dw1 = jnp.sum(hs_ref[0].astype(jnp.float32) * g, axis=1)  # [L]
+    dw2 = jnp.sum(hd_ref[0].astype(jnp.float32) * g, axis=1)
+
+    @pl.when(first_visit)
+    def _():
+        dw1_ref[0, 0, :] = dw1
+        dw2_ref[0, 0, :] = dw2
+
+    @pl.when(jnp.logical_not(first_visit))
+    def _():
+        dw1_ref[0, 0, :] += dw1
+        dw2_ref[0, 0, :] += dw2
+
+
+def _nn2_bwd(hs_all, hd_all, w1, w2, src2d, dst2d, chunk_type, g2d, nb: int):
+    n_chunks, chunk = src2d.shape
+    n_et, d = w1.shape
+    src3d = src2d.reshape(n_chunks, 1, chunk)
+    dst3d = dst2d.reshape(n_chunks, 1, chunk)
+    g3d = g2d.reshape(n_chunks, 1, chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, chunk), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nb * d, LANE), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * d, LANE), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    dh1_2t, dh2_2t, dw13d, dw23d = pl.pallas_call(
+        functools.partial(_nn2_bwd_kernel, nb),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * d, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb * d, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_et, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_et, 1, d), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_chunks * chunk * LANE * nb * d,
+            bytes_accessed=n_chunks * chunk * (16 + 4 * d),
+            transcendentals=0,
+        ),
+    )(
+        chunk_type, src3d, dst3d, g3d, hs_all, hd_all,
+        w1.reshape(n_et, 1, d), w2.reshape(n_et, 1, d),
+    )
+    return dh1_2t, dh2_2t, dw13d.reshape(n_et, d), dw23d.reshape(n_et, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def nn_logits_padded2(h1, h2, w1, w2, src2d, dst2d, chunk_type, n_nodes,
+                      compute_dtype=jnp.float32):
+    """NN-decoder logits [n_chunks, chunk] via the two-level gather.
+
+    Drop-in for ops/pallas_segment.py:nn_logits_padded; padding slots
+    (dst = n_nodes) zero the dst term but the src term is real when the pad
+    src is a valid id — the caller masks with the valid mask, the same
+    contract as v1.
+    """
+    h1_2t = pack_table_t(h1, n_nodes)
+    h2_2t = pack_table_t(h2, n_nodes)
+    out, _, _ = _nn2_fwd(
+        h1_2t, h2_2t, w1, w2, src2d, dst2d, chunk_type, compute_dtype
+    )
+    return out
+
+
+def _nn2_vjp_fwd(h1, h2, w1, w2, src2d, dst2d, chunk_type, n_nodes,
+                 compute_dtype):
+    h1_2t = pack_table_t(h1, n_nodes)
+    h2_2t = pack_table_t(h2, n_nodes)
+    out, hs_all, hd_all = _nn2_fwd(
+        h1_2t, h2_2t, w1, w2, src2d, dst2d, chunk_type, compute_dtype
+    )
+    return out, (hs_all, hd_all, w1, w2, src2d, dst2d, chunk_type)
+
+
+def _nn2_vjp_bwd(n_nodes, compute_dtype, res, g2d):
+    hs_all, hd_all, w1, w2, src2d, dst2d, chunk_type = res
+    d = w1.shape[1]
+    dh1_2t, dh2_2t, dw1, dw2 = _nn2_bwd(
+        hs_all, hd_all, w1, w2, src2d, dst2d, chunk_type,
+        g2d.astype(jnp.float32), _nb(n_nodes),
+    )
+    return (
+        unpack_table_t(dh1_2t, n_nodes, d),
+        unpack_table_t(dh2_2t, n_nodes, d),
+        dw1, dw2, None, None, None,
+    )
+
+
+nn_logits_padded2.defvjp(_nn2_vjp_fwd, _nn2_vjp_bwd)

@@ -167,6 +167,15 @@ def make_graph_arrays(
         # host-side exactness-checked cast so only the final compute-dtype
         # tensor is ever transferred / resident on device
         graph["dd_adj_t"] = jnp.asarray(cast_dense_adj(da, jnp.dtype(dense_dtype)))
+        if data.n_prot * data.n_prot * 2 <= 1.0e9:
+            # Dense P-P path rides the same feasibility regime: ship the
+            # exact 0/1 (A+I) in bf16 + the factored D^-1/2 diagonal
+            # (data/packing.py:dense_pp_parts, nn/gcn.py).
+            from tip_tpu.data.packing import dense_pp_parts
+
+            a1, dinv = dense_pp_parts(data.pp_norm_index, data.n_prot)
+            graph["pp_a1"] = jnp.asarray(a1)
+            graph["pp_dinv"] = jnp.asarray(dinv)
     if data.drug_feat is not None:
         graph["drug_feat"] = jnp.asarray(data.drug_feat)
     if data.d_norm is not None:
