@@ -21,13 +21,15 @@ dimension, so a direct [rows, 128] row-gather is unsupported):
      Decagon graph — the sampler's former dominant cost;
   2. bit address: byte = pair >> 3 -> (row = byte >> 7, lane = byte & 127),
      bit-in-byte = pair & 7;
-  3. the bitmap is pre-split into little-endian BYTE planes stacked along
-     rows, stored as int8 [4*word_rows, 128] (exact — entries are bytes),
-     so the MXU does the whole byte gather as a one-hot matmul
-     onehot(row) [C, rows] @ table [rows, 128], and the remaining
-     per-candidate selection is only 128 lanes wide;
-  4. the lane selection is ONE VPU masked row-reduction
-     (dynamic_gather serializes; a multiply+reduce runs at vector ALU rate);
+  3. the bitmap is pre-split into little-endian BYTE planes, stored as int8
+     TRANSPOSED [128, rows] (exact — entries are bytes), so the MXU does
+     the whole byte gather as table_t [128, rows] @ onehot_t [rows, C] with
+     the candidate axis on the lanes end to end — Mosaic layout changes
+     between matmul and elementwise orientation were ~70% of an earlier
+     kernel's runtime (34.9 -> 8.7 ms/step, runs/probe_sampler*.out);
+  4. the lane selection masks to one nonzero byte per candidate column and
+     reduces the sublanes with ONE [8, 128] ones-matmul (dynamic_gather
+     serializes; VPU cross-lane shuffle trees measured ~3x this kernel);
   5. colliding candidates are SIGN-FLAGGED in the output and resolved by an
      XLA lane-borrow pass in the wrapper: a flagged lane takes the candidate
      of a clean lane of the same chunk (= same relation) at offsets
@@ -59,11 +61,19 @@ def _sampler_kernel(n_nodes, rounds, extra_rounds, onchip, chunk_type_ref,
     # hardware PRNG is seeded per chunk from it — or a pre-drawn
     # [1, 1, total_rounds*chunk] bits block (VMEM) on backends without the
     # in-kernel PRNG (CPU interpret mode stubs prng_random_bits to zeros).
+    #
+    # EVERYTHING here is (1, c) or (*, c): the candidate axis stays on the
+    # 128-wide VPU lanes end to end, and the table is pre-transposed
+    # (tbl_t [128, rows]) so both matmuls contract against it without a
+    # single relayout.  The previous orientation (candidates on sublanes
+    # for the matmuls, 1-D [c] vectors for the scalar chain) spent ~70% of
+    # the kernel in Mosaic layout changes: 34.9 -> 8.7 ms/step at Decagon
+    # scale for the identical math (runs/probe_sampler*.out).
     if onchip:
         pltpu.prng_seed(rng_ref[0], pl.program_id(0))
     c = out_ref.shape[2]
-    rows = tbl_ref.shape[1]
-    tbl = tbl_ref[0]  # [rows, 128] int8 holding the bitmap's BYTE planes
+    rows = tbl_ref.shape[2]
+    tbl_t = tbl_ref[0]  # [128, rows] int8: transposed bitmap BYTE planes
 
     # A single 24-bit fixed-point draw cannot reach every pair once
     # n^2 > 2^24 (granularity n^2/2^24 > 1): above 4096 nodes, draw src and
@@ -75,8 +85,8 @@ def _sampler_kernel(n_nodes, rounds, extra_rounds, onchip, chunk_type_ref,
     def uniform24(r):
         if onchip:
             raw = pltpu.prng_random_bits((1, c))  # int32
-            return jax.lax.shift_right_logical(raw, 8).astype(jnp.float32)[0]
-        return rng_ref[0, 0, r * c:(r + 1) * c].astype(jnp.float32)
+            return jax.lax.shift_right_logical(raw, 8).astype(jnp.float32)
+        return rng_ref[0, 0:1, r * c:(r + 1) * c].astype(jnp.float32)
 
     def draw(r):
         # 24-bit randoms scaled WITHOUT vector integer division (the VPU has
@@ -98,31 +108,28 @@ def _sampler_kernel(n_nodes, rounds, extra_rounds, onchip, chunk_type_ref,
                 jnp.int32
             )
             pair = jnp.minimum(pair, n_nodes * n_nodes - 1)
-        byte_addr = pair >> 3
+        byte_addr = pair >> 3  # all (1, c)
         row = byte_addr >> 7
         lane = byte_addr & 127
         bit = pair & 7
         # byte gather as an INT8 one-hot matmul with int32 accumulation —
-        # exact (entries are bytes) and the MXU's s8 path runs ~2x the
-        # single-pass-bf16 rate this kernel used before; byte planes are
-        # stacked along ROWS so the MXU does the whole gather and the VPU
-        # lane-select below stays 128 wide
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (c, rows), 1)
-        oh = (row_ids == row[:, None]).astype(jnp.int8)
-        g = jnp.dot(oh, tbl, preferred_element_type=jnp.int32)  # [c, 128]
-        # lane select as ONE MXU matvec: a VPU masked lane-reduction
-        # (sum(g * at_lane, axis=1)) measured ~30 ms/step of the sampler's
-        # 39 — cross-lane shuffles are slow in Mosaic.  Masking leaves one
-        # nonzero byte per row (values <= 255, exact in bf16), and a
-        # [c, 128] @ [128, 8] ones-matmul reduces the lanes in a single
-        # systolic pass (~1.2k cycles/chunk vs ~3k for the shuffle tree).
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 1)
-        at_lane = (lane_ids == lane[:, None]).astype(jnp.bfloat16)
-        sel = g.astype(jnp.bfloat16) * at_lane
+        # exact (entries are bytes).  The one-hot is built TRANSPOSED
+        # ([rows, c], (1, c) row ids broadcast over sublanes for free) and
+        # the table contracts from the left: g_t[l, e] = tbl[row_e, l].
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, c), 0)
+        oh_t = (row_ids == row).astype(jnp.int8)
+        g_t = jnp.dot(tbl_t, oh_t, preferred_element_type=jnp.int32)  # [128, c]
+        # lane select: mask to one nonzero byte per candidate column
+        # (values <= 255, exact in bf16), then ONE [8, 128] ones-matmul
+        # reduces the sublanes — a VPU cross-lane shuffle tree measured
+        # ~3x the whole kernel's budget.
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (128, c), 0)
+        at_lane_t = (lane_ids == lane).astype(jnp.bfloat16)
+        sel_t = g_t.astype(jnp.bfloat16) * at_lane_t  # [128, c]
         byte = jnp.dot(
-            sel, jnp.ones((128, 8), jnp.bfloat16),
+            jnp.ones((8, 128), jnp.bfloat16), sel_t,
             preferred_element_type=jnp.float32,
-        )[:, 0].astype(jnp.int32)
+        )[0:1, :].astype(jnp.int32)  # (1, c)
         collides = ((byte >> bit) & 1) != 0
         return pair, collides
 
@@ -133,19 +140,19 @@ def _sampler_kernel(n_nodes, rounds, extra_rounds, onchip, chunk_type_ref,
         collides = jnp.logical_and(collides, new_collides)
     # sign-flag survivors, then resolve them in extra rounds that whole
     # clean chunks skip (out_ref doubles as the carry across @pl.when)
-    out_ref[0, 0, :] = jnp.where(collides, -pair - 1, pair)
+    out_ref[0] = jnp.where(collides, -pair - 1, pair)
 
     if extra_rounds:
         @pl.when(jnp.any(collides))
         def _():
-            p = out_ref[0, 0, :]
+            p = out_ref[0, 0:1, :]
             col = p < 0
             pr = jnp.where(col, -p - 1, p)
             for r in range(rounds, rounds + extra_rounds):
                 new_pair, new_collides = draw(r)
                 pr = jnp.where(col, new_pair, pr)
                 col = jnp.logical_and(col, new_collides)
-            out_ref[0, 0, :] = pr  # survivors of the last round: accepted
+            out_ref[0] = pr  # survivors of the last round: accepted
 
 
 def typed_negative_sampling_padded(
@@ -183,25 +190,27 @@ def typed_negative_sampling_padded(
     rows = stride_words * 4 // 128  # one byte per entry
     if planes is not None:
         # Precomputed at graph-pack time (sampling/negative.py:
-        # bitmap_byte_planes): the table is static per split, and rebuilding
-        # it in-step costs a full shift/mask pass over the 57 MB bitmap.
+        # bitmap_byte_planes, TRANSPOSED [n_et, 128, rows]): the table is
+        # static per split, and rebuilding it in-step costs a full
+        # shift/mask pass over the 57 MB bitmap.
         tblb = planes
     else:
         words = bitmap.reshape(n_et, stride_words)
-        # little-endian byte planes stacked along rows, stored as INT8: the
-        # s8 MXU path accumulates exactly into int32 at ~2x the
-        # single-pass-bf16 rate (bytes land in [-128, 127] after the int8
-        # cast; the sign bit round-trips exactly through int32 `& 0xFF`-free
-        # arithmetic because only bit tests are performed downstream).  byte
+        # little-endian byte planes, stored as INT8 and TRANSPOSED to
+        # [n_et, 128(lane), rows] — the kernel keeps candidates on the
+        # lanes, so the table keeps its lane axis on the sublanes (bytes
+        # land in [-128, 127] after the int8 cast; the sign bit round-trips
+        # exactly because only bit tests are performed downstream).  byte
         # address b = pair >> 3 maps to (row = b >> 7, lane = b & 127).
-        tblb = (
+        tblb = jnp.swapaxes(
             jnp.stack(
                 [((words >> (8 * p)) & jnp.uint32(0xFF)) for p in range(4)],
                 axis=2,
             )
             .reshape(n_et, rows, 128)
             .astype(jnp.uint8)
-            .astype(jnp.int8)
+            .astype(jnp.int8),
+            1, 2,
         )
     total_rounds = rounds + tail_rounds
     # two 24-bit draws per candidate above 4096 nodes (see _sampler_kernel)
@@ -238,7 +247,7 @@ def typed_negative_sampling_padded(
         num_scalar_prefetch=nsp,  # chunk_type (+ seed when onchip)
         grid=(n_chunks,),
         in_specs=rng_in_specs + [
-            pl.BlockSpec((1, rows, 128), tbl_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, rows), tbl_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, chunk), out_index, memory_space=pltpu.VMEM

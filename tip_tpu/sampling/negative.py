@@ -67,20 +67,24 @@ def build_typed_bitmap(
 
 
 def bitmap_byte_planes(bitmap: np.ndarray, n_et: int, n_nodes: int) -> np.ndarray:
-    """Little-endian byte planes of the bitmap as int8 [n_et, rows, 128].
+    """Little-endian byte planes of the bitmap as int8 [n_et, 128, rows].
 
-    This is the exact table layout the Pallas sampler kernel consumes
-    (ops/pallas_sampler.py: byte address b = pair >> 3 -> row = b >> 7,
-    lane = b & 127).  The bitmap is static per split, so building the
-    planes ONCE here (host numpy, at graph-pack time) removes a ~57 MB
-    shift/mask/reshape pipeline from every training step.
+    This is the exact (TRANSPOSED) table layout the Pallas sampler kernel
+    consumes (ops/pallas_sampler.py: byte address b = pair >> 3 ->
+    row = b >> 7, lane = b & 127; tbl_t[lane, row] = byte).  The candidate
+    axis rides the 128-wide lanes everywhere in that kernel, so the table
+    keeps its lane axis on the sublanes — the gather matmul is
+    tbl_t @ onehot_t with no relayouts.  The bitmap is static per split, so
+    building the planes ONCE here (host numpy, at graph-pack time) removes
+    a ~57 MB shift/mask/reshape pipeline from every training step.
     """
     stride_words = bitmap_stride_bits(n_nodes) // 32
     rows = stride_words * 4 // 128
     words = np.ascontiguousarray(
         np.asarray(bitmap, dtype="<u4").reshape(n_et, stride_words)
     )
-    return words.view(np.uint8).reshape(n_et, rows, 128).astype(np.int8)
+    planes = words.view(np.uint8).reshape(n_et, rows, 128).astype(np.int8)
+    return np.ascontiguousarray(planes.transpose(0, 2, 1))
 
 
 def _collides_bitmap(pair, edge_type, bitmap, n_nodes: int):
