@@ -59,7 +59,14 @@ def _step_mxu_flops(gs, cfg, dense_path: bool) -> float:
     positive decoder run the chunked one-hot kernels, whose per-chunk GEMMs
     dominate; count those instead of the dense formulas.
 
-    The basis einsums, P-P SpMM and sampler are <5% combined, ignored.
+    NEGATIVES run the two-level SDDMM (ops/pallas_sddmm2.py): per chunk the
+    forward is two single-tile gathers [NB*D, 128] x [128, C] and the
+    backward two scatters of the same size (the forward's gathered
+    endpoints are residuals — nothing is regathered), so bwd = fwd, not
+    2x fwd as the v1 full-axis kernel cost.
+
+    The basis einsums, P-P SpMM (dense: 2*N_prot^2*d, ~8%) and sampler are
+    small; ignored — utilization estimates here are an upper bound.
     """
     c, n, k = gs.dd_chunk, gs.n_drug, gs.dd_n_chunks
     r = gs.n_et
@@ -74,8 +81,9 @@ def _step_mxu_flops(gs, cfg, dense_path: bool) -> float:
         rgcn_fwd = onehot(cfg.rgcn_in_dim) + onehot(cfg.n_hid1)
         rgcn_bwd = 2 * rgcn_fwd  # dx gather + one-hot grads
         dec_pos = 3 * (4.0 * c * n * cfg.n_hid2) * k  # chunked SDDMM fwd+bwd
-    dec_neg_fwd = (4.0 * c * n * cfg.n_hid2) * k
-    dec_neg_bwd = 2 * dec_neg_fwd
+    nb = n // 128 + 1  # two-level gather hi-blocks (pallas_sddmm2._nb)
+    dec_neg_fwd = (2.0 * 2 * c * 128 * nb * cfg.n_hid2) * k
+    dec_neg_bwd = dec_neg_fwd
     return rgcn_fwd + rgcn_bwd + dec_pos + dec_neg_fwd + dec_neg_bwd
 
 
