@@ -42,6 +42,14 @@ def make_pp_graph_arrays(data: TriGraphData):
         "train_dst": jnp.asarray(data.pp_train[1]),
         "pair_bitmap": jnp.asarray(pair_bitmap(data.pp_train)),
     }
+    if n * n * 2 <= 1.0e9:
+        # dense bf16 (A+I) path, same regime as the tri-graph encoder
+        # (data/packing.py:dense_pp_parts, nn/gcn.py:gcn_conv_apply_dense)
+        from tip_tpu.data.packing import dense_pp_parts
+
+        a1, dinv = dense_pp_parts(data.pp_norm_index, n)
+        graph["pp_a1"] = jnp.asarray(a1)
+        graph["pp_dinv"] = jnp.asarray(dinv)
     test = {
         "src": jnp.asarray(data.pp_test[0]),
         "dst": jnp.asarray(data.pp_test[1]),
@@ -65,6 +73,12 @@ class PPModel:
         return {"encoder": pp_encoder_init(key, self.n_prot, self.cfg.hid1, self.cfg.hid2)}
 
     def encode(self, params, graph):
+        if "pp_a1" in graph:
+            from tip_tpu.nn.encoders import pp_encoder_apply_dense
+
+            return pp_encoder_apply_dense(
+                params["encoder"], None, graph["pp_a1"], graph["pp_dinv"]
+            )
         return pp_encoder_apply(
             params["encoder"], None, graph["pp_norm_index"], graph["pp_norm_weight"],
             self.n_prot,
