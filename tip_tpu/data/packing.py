@@ -192,6 +192,16 @@ def dense_pp_parts(pp_norm_index: np.ndarray, n_nodes: int):
     a1 = np.zeros((n_nodes, n_nodes), np.uint8)
     a1[pp_norm_index[1], pp_norm_index[0]] = 1
     deg = a1.sum(axis=1, dtype=np.int64)
+    # A duplicated COO entry would contribute its weight TWICE in the
+    # cached-normalization SpMM but collapse to one 0/1 cell here (and the
+    # degree would differ) — verify instead of assuming, mirroring the D-D
+    # path's cast_dense_adj exactness guard.
+    if int(deg.sum()) != pp_norm_index.shape[1]:
+        raise ValueError(
+            "P-P normalized edge list contains duplicate entries; the dense "
+            "0/1 (A+I) path cannot represent edge multiplicity — use the "
+            "COO/windowed path"
+        )
     dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1)), 0.0)
     return a1.astype(np.dtype("bfloat16")), dinv.astype(np.float32)
 

@@ -47,9 +47,13 @@ def make_pp_graph_arrays(data: TriGraphData):
         # (data/packing.py:dense_pp_parts, nn/gcn.py:gcn_conv_apply_dense)
         from tip_tpu.data.packing import dense_pp_parts
 
-        a1, dinv = dense_pp_parts(data.pp_norm_index, n)
-        graph["pp_a1"] = jnp.asarray(a1)
-        graph["pp_dinv"] = jnp.asarray(dinv)
+        try:
+            a1, dinv = dense_pp_parts(data.pp_norm_index, n)
+        except ValueError:  # duplicate P-P edges: 0/1 can't hold them
+            a1 = None
+        if a1 is not None:
+            graph["pp_a1"] = jnp.asarray(a1)
+            graph["pp_dinv"] = jnp.asarray(dinv)
     test = {
         "src": jnp.asarray(data.pp_test[0]),
         "dst": jnp.asarray(data.pp_test[1]),

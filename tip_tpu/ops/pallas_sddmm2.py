@@ -148,13 +148,9 @@ def _dm2_fwd(z2t, w, src2d, dst2d, chunk_type, compute_dtype):
 
 
 def _dm2_bwd_kernel(nb, chunk_type_ref, src_ref, dst_ref, g_ref, zs_ref,
-                    zd_ref, w_ref, dz2t_ref, dw_ref):
+                    zd_ref, w_ref, dz2t_ref, dwc_ref):
     i = pl.program_id(0)
-    t = chunk_type_ref[i]
-    prev_t = chunk_type_ref[jnp.maximum(i - 1, 0)]
-    first_visit = jnp.logical_or(i == 0, prev_t != t)
     dtype = zs_ref.dtype
-    d = w_ref.shape[-1]
     g = g_ref[0, 0][None, :]  # [1, C]
     w = w_ref[0, 0][:, None]  # [D, 1]
     zs = zs_ref[0].astype(jnp.float32)  # [D, C]
@@ -186,15 +182,14 @@ def _dm2_bwd_kernel(nb, chunk_type_ref, src_ref, dst_ref, g_ref, zs_ref,
     def _():
         dz2t_ref[:] += contrib
 
-    dw_contrib = jnp.sum(zs * zd * g, axis=1)  # [D]
-
-    @pl.when(first_visit)
-    def _():
-        dw_ref[0, 0, :] = dw_contrib
-
-    @pl.when(jnp.logical_not(first_visit))
-    def _():
-        dw_ref[0, 0, :] += dw_contrib
+    # dw contribution is emitted PER CHUNK and segment-summed by relation in
+    # XLA (wrapper): an in-kernel per-relation accumulator keyed on
+    # "first visit of this relation" silently corrupts under shard_map,
+    # where device-local chunk segments interleave pad chunks (local
+    # relation 0) and may omit relations entirely — a re-triggered first
+    # visit overwrites the accumulated row and unvisited output rows are
+    # undefined memory that would be psum'd into real gradients.
+    dwc_ref[0, 0, :] = jnp.sum(zs * zd * g, axis=1)  # [D]
 
 
 def _dm2_bwd(zs_all, zd_all, w, src2d, dst2d, chunk_type, g2d, nb: int):
@@ -216,14 +211,14 @@ def _dm2_bwd(zs_all, zd_all, w, src2d, dst2d, chunk_type, g2d, nb: int):
         ],
         out_specs=(
             pl.BlockSpec((nb * d, LANE), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
     )
-    dz2t, dw3d = pl.pallas_call(
+    dz2t, dwc = pl.pallas_call(
         functools.partial(_dm2_bwd_kernel, nb),
         out_shape=(
             jax.ShapeDtypeStruct((nb * d, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_et, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, 1, d), jnp.float32),
         ),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
@@ -232,7 +227,13 @@ def _dm2_bwd(zs_all, zd_all, w, src2d, dst2d, chunk_type, g2d, nb: int):
             transcendentals=0,
         ),
     )(chunk_type, src3d, dst3d, g3d, zs_all, zd_all, w.reshape(n_et, 1, d))
-    return dz2t, dw3d.reshape(n_et, d)
+    # per-chunk dw -> per-relation dw, robust to ANY chunk_type order and
+    # to relations absent from this device's shard (see kernel comment);
+    # [n_chunks, d] is ~0.5 MB at Decagon scale — negligible.
+    dw = jax.ops.segment_sum(
+        dwc.reshape(n_chunks, d), chunk_type, num_segments=n_et
+    )
+    return dz2t, dw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -343,9 +344,6 @@ def _nn2_fwd(h1_2t, h2_2t, w1, w2, src2d, dst2d, chunk_type, compute_dtype):
 def _nn2_bwd_kernel(nb, chunk_type_ref, src_ref, dst_ref, g_ref, hs_ref,
                     hd_ref, w1_ref, w2_ref, dh1_ref, dh2_ref, dw1_ref, dw2_ref):
     i = pl.program_id(0)
-    t = chunk_type_ref[i]
-    prev_t = chunk_type_ref[jnp.maximum(i - 1, 0)]
-    first_visit = jnp.logical_or(i == 0, prev_t != t)
     dtype = hs_ref.dtype
     g = g_ref[0, 0][None, :]  # [1, C]
 
@@ -373,18 +371,11 @@ def _nn2_bwd_kernel(nb, chunk_type_ref, src_ref, dst_ref, g_ref, hs_ref,
         dh1_ref[:] += dh1
         dh2_ref[:] += dh2
 
-    dw1 = jnp.sum(hs_ref[0].astype(jnp.float32) * g, axis=1)  # [L]
-    dw2 = jnp.sum(hd_ref[0].astype(jnp.float32) * g, axis=1)
-
-    @pl.when(first_visit)
-    def _():
-        dw1_ref[0, 0, :] = dw1
-        dw2_ref[0, 0, :] = dw2
-
-    @pl.when(jnp.logical_not(first_visit))
-    def _():
-        dw1_ref[0, 0, :] += dw1
-        dw2_ref[0, 0, :] += dw2
+    # per-chunk dw, segment-summed by relation in XLA — see
+    # _dm2_bwd_kernel for why the in-kernel per-relation accumulator is
+    # unsafe under shard_map
+    dw1_ref[0, 0, :] = jnp.sum(hs_ref[0].astype(jnp.float32) * g, axis=1)
+    dw2_ref[0, 0, :] = jnp.sum(hd_ref[0].astype(jnp.float32) * g, axis=1)
 
 
 def _nn2_bwd(hs_all, hd_all, w1, w2, src2d, dst2d, chunk_type, g2d, nb: int):
@@ -408,17 +399,17 @@ def _nn2_bwd(hs_all, hd_all, w1, w2, src2d, dst2d, chunk_type, g2d, nb: int):
         out_specs=(
             pl.BlockSpec((nb * d, LANE), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb * d, LANE), lambda i, ct: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda i, ct: (ct[i], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, ct: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
     )
-    dh1_2t, dh2_2t, dw13d, dw23d = pl.pallas_call(
+    dh1_2t, dh2_2t, dw1c, dw2c = pl.pallas_call(
         functools.partial(_nn2_bwd_kernel, nb),
         out_shape=(
             jax.ShapeDtypeStruct((nb * d, LANE), jnp.float32),
             jax.ShapeDtypeStruct((nb * d, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_et, 1, d), jnp.float32),
-            jax.ShapeDtypeStruct((n_et, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, 1, d), jnp.float32),
         ),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
@@ -430,7 +421,13 @@ def _nn2_bwd(hs_all, hd_all, w1, w2, src2d, dst2d, chunk_type, g2d, nb: int):
         chunk_type, src3d, dst3d, g3d, hs_all, hd_all,
         w1.reshape(n_et, 1, d), w2.reshape(n_et, 1, d),
     )
-    return dh1_2t, dh2_2t, dw13d.reshape(n_et, d), dw23d.reshape(n_et, d)
+    dw1 = jax.ops.segment_sum(
+        dw1c.reshape(n_chunks, d), chunk_type, num_segments=n_et
+    )
+    dw2 = jax.ops.segment_sum(
+        dw2c.reshape(n_chunks, d), chunk_type, num_segments=n_et
+    )
+    return dh1_2t, dh2_2t, dw1, dw2
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))

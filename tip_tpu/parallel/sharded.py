@@ -51,11 +51,16 @@ def shard_graph(graph: dict, gs, n_devices: int):
     nothing to aggregation or loss.  Returns (graph', n_chunks_padded).
     """
     n_chunks = graph["dd_chunk_type"].shape[0]
-    # The dense per-relation adjacency is a single-device fast path: under
-    # shard_map it would be replicated (full HBM copy per device) and the
-    # dense compute branches are disabled anyway (nn/rgcn.py, TIP.loss) —
-    # drop it so sharded runs always take the chunk-partitioned kernels.
-    graph = {k: v for k, v in graph.items() if k != "dd_adj_t"}
+    # The dense buffers are single-device fast paths: under shard_map they
+    # would be replicated (full HBM copy per device) — the dense R-GCN /
+    # loss branches are disabled anyway (nn/rgcn.py, TIP.loss), and the
+    # dense P-P GEMM (728 MB bf16 at Decagon scale) would run redundantly
+    # on every device — drop them so sharded runs take the partitioned /
+    # windowed paths.
+    graph = {
+        k: v for k, v in graph.items()
+        if k not in ("dd_adj_t", "pp_a1", "pp_dinv")
+    }
     pad = (-n_chunks) % n_devices
     if pad == 0:
         return dict(graph), n_chunks

@@ -173,9 +173,13 @@ def make_graph_arrays(
             # (data/packing.py:dense_pp_parts, nn/gcn.py).
             from tip_tpu.data.packing import dense_pp_parts
 
-            a1, dinv = dense_pp_parts(data.pp_norm_index, data.n_prot)
-            graph["pp_a1"] = jnp.asarray(a1)
-            graph["pp_dinv"] = jnp.asarray(dinv)
+            try:
+                a1, dinv = dense_pp_parts(data.pp_norm_index, data.n_prot)
+            except ValueError:  # duplicate P-P edges: 0/1 can't hold them
+                a1 = None
+            if a1 is not None:
+                graph["pp_a1"] = jnp.asarray(a1)
+                graph["pp_dinv"] = jnp.asarray(dinv)
     if data.drug_feat is not None:
         graph["drug_feat"] = jnp.asarray(data.drug_feat)
     if data.d_norm is not None:
