@@ -81,7 +81,9 @@ def _step_mxu_flops(gs, cfg, dense_path: bool) -> float:
         rgcn_fwd = onehot(cfg.rgcn_in_dim) + onehot(cfg.n_hid1)
         rgcn_bwd = 2 * rgcn_fwd  # dx gather + one-hot grads
         dec_pos = 3 * (4.0 * c * n * cfg.n_hid2) * k  # chunked SDDMM fwd+bwd
-    nb = n // 128 + 1  # two-level gather hi-blocks (pallas_sddmm2._nb)
+    from tip_tpu.ops.pallas_sddmm2 import _nb
+
+    nb = _nb(n)  # two-level gather hi-blocks, from the kernel itself
     dec_neg_fwd = (2.0 * 2 * c * 128 * nb * cfg.n_hid2) * k
     dec_neg_bwd = dec_neg_fwd
     return rgcn_fwd + rgcn_bwd + dec_pos + dec_neg_fwd + dec_neg_bwd

@@ -176,10 +176,15 @@ def main():
     ap.add_argument("--et-band", default=None)
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--out", default=None)
+    # Init/sampling seed only — the 90/10 split stays pinned at 1111 so every
+    # seed trains on the identical split (reference protocol: one split,
+    # reference: tip.py:21-36; used for the error-bar replication,
+    # RESULTS.md headline table).
+    ap.add_argument("--seed", type=int, default=1111)
     args = ap.parse_args()
 
-    torch.manual_seed(1111)
-    np.random.seed(1111)
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed)
     torch.set_num_threads(2)
 
     from tip_tpu.data import load_decagon_raw, cached_trigraph

@@ -176,6 +176,13 @@ def cast_dense_adj(da: np.ndarray, dtype) -> np.ndarray:
     return out
 
 
+def dense_pp_feasible(n_nodes: int) -> bool:
+    """Whether the [n_nodes, n_nodes] dense bf16 (A+I) fits a sane HBM
+    budget (~1 GB).  Single source of truth for the dense P-P policy —
+    shared by train/model.py:make_graph_arrays and models/pp.py."""
+    return n_nodes * n_nodes * 2 <= 1.0e9
+
+
 def dense_pp_parts(pp_norm_index: np.ndarray, n_nodes: int):
     """Dense (A + I) in bfloat16 plus the D^-1/2 diagonal, factored EXACTLY.
 
@@ -217,7 +224,13 @@ def max_multiplicity(edges: TypedEdges, n_nodes: int) -> int:
     keys = encode_keys(edges, n_nodes)
     if keys.size == 0:
         return 0
-    change = np.flatnonzero(np.diff(keys)) + 1
+    diffs = np.diff(keys)
+    if np.any(diffs < 0):  # adjacent-run counting needs sorted keys; every
+        # shipped caller hands a build_trigraph-sorted buffer, but an
+        # unsorted one would silently undercount — sort instead of crashing
+        keys = np.sort(keys)
+        diffs = np.diff(keys)
+    change = np.flatnonzero(diffs) + 1
     bounds = np.concatenate([[0], change, [keys.size]])
     return int(np.max(np.diff(bounds)))
 

@@ -42,7 +42,9 @@ def make_pp_graph_arrays(data: TriGraphData):
         "train_dst": jnp.asarray(data.pp_train[1]),
         "pair_bitmap": jnp.asarray(pair_bitmap(data.pp_train)),
     }
-    if n * n * 2 <= 1.0e9:
+    from tip_tpu.data.packing import dense_pp_feasible
+
+    if dense_pp_feasible(n):
         # dense bf16 (A+I) path, same regime as the tri-graph encoder
         # (data/packing.py:dense_pp_parts, nn/gcn.py:gcn_conv_apply_dense)
         from tip_tpu.data.packing import dense_pp_parts

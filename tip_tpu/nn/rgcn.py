@@ -88,7 +88,11 @@ def rgcn_apply_padded(
     When given, the neighbor binning runs as ONE batched dense matmul on the
     MXU — ~25x fewer FLOPs than the chunked one-hot kernels at Decagon scale
     and no per-edge work at all.  Identical math (counts are exact in the
-    compute dtype; accumulation is float32).  Takes precedence over
+    compute dtype; accumulation is float32).  With a bf16 adjacency the
+    ``x.astype(dense_adj.dtype)`` cast assumes DEFAULT matmul precision
+    (where f32 MXU inputs round to bf16 anyway — the cast is then free);
+    train/model.py:preferred_dense_dtype keeps f32 storage when the user
+    pins jax_default_matmul_precision to float32/highest.  Takes precedence over
     ``backend`` for the binning; the edge buffers are ignored here but still
     feed the decoder/sampler.  Ignored under shard_map (``axis_name`` set):
     the dense adjacency is replicated, so every device would compute the

@@ -80,17 +80,30 @@ def preferred_dense_dtype(data: TriGraphData, kernel_dtype: str = "float32"):
     adjacency's HBM footprint and streaming traffic (the dominant encoder
     cost at Decagon scale), and is numerically FREE for the float32 path —
     the adjacency holds small integer counts (exact in bf16 up to 256, so
-    exactness is verified, not assumed), and JAX's default-precision f32
+    exactness is verified, not assumed), and JAX's DEFAULT-precision f32
     matmul already rounds MXU inputs to bf16: encoder outputs measured
     bit-identical between f32 and bf16 adjacency storage
     (runs/probe_bf16da.out; encode fwd+bwd 38.4 -> 32.9 ms, dense positive
     BCE fwd+bwd 15.5 -> 8.2 ms).
+
+    That freeness assumes default matmul precision: when the user pins
+    ``jax_default_matmul_precision`` to float32/highest they are asking for
+    true f32 matmuls, and the dense paths' ``x.astype(adj.dtype)`` casts
+    WOULD round activations — so the bf16 preference is gated off there and
+    float32 storage kept for a float32 kernel.  (On CPU the dense paths
+    deliberately round inputs to bf16 to stay bit-identical with the TPU
+    MXU path — that emulation is intentional and not gated.)
     """
     from tip_tpu.data.packing import max_multiplicity
 
+    prec = jax.config.jax_default_matmul_precision
+    f32_matmuls = str(kernel_dtype) == "float32" and prec in (
+        "float32", "highest")
     limit = {"bfloat16": 256, "float32": 2**24}
     m = None
-    for cand in ("bfloat16", str(kernel_dtype)):
+    candidates = (str(kernel_dtype),) if f32_matmuls else (
+        "bfloat16", str(kernel_dtype))
+    for cand in candidates:
         if not dense_rgcn_feasible(data.n_drug, data.n_et, cand):
             continue
         if m is None:
@@ -107,6 +120,7 @@ def make_graph_arrays(
     pp_chunk: int = 512,
     dense_dtype: str | None = None,
     planes: bool | None = None,
+    pp_dense: bool = True,
 ):
     """Pack the training graph into a device pytree + static metadata.
 
@@ -120,6 +134,12 @@ def make_graph_arrays(
     as one batched MXU GEMM (data/packing.py:dense_relation_adj,
     nn/rgcn.py) — the preferred path whenever
     :func:`dense_rgcn_feasible` holds.
+
+    ``pp_dense``: ship the dense bf16 (A+I) P-P buffers (``pp_a1`` /
+    ``pp_dinv``) when feasible.  False keeps the COO/windowed P-P paths
+    selectable by ``backend`` — the encoder's dense branch keys on the
+    buffers' presence (nn/encoders.py), so this is the supported opt-out
+    for A/B-ing or debugging the sparse paths.
     """
     # The Pallas sampler's byte-plane bitmap view is ~n_et * n_drug * 8 bytes
     # at Decagon scale — only build/ship it when that backend can run
@@ -167,7 +187,9 @@ def make_graph_arrays(
         # host-side exactness-checked cast so only the final compute-dtype
         # tensor is ever transferred / resident on device
         graph["dd_adj_t"] = jnp.asarray(cast_dense_adj(da, jnp.dtype(dense_dtype)))
-        if data.n_prot * data.n_prot * 2 <= 1.0e9:
+        from tip_tpu.data.packing import dense_pp_feasible
+
+        if pp_dense and dense_pp_feasible(data.n_prot):
             # Dense P-P path rides the same feasibility regime: ship the
             # exact 0/1 (A+I) in bf16 + the factored D^-1/2 diagonal
             # (data/packing.py:dense_pp_parts, nn/gcn.py).
