@@ -166,6 +166,7 @@ def typed_negative_sampling_padded(
     tail_rounds: int = 0,
     onchip_prng: bool | None = None,
     planes=None,
+    _resolve: bool = True,
 ):
     """Sample negatives for a chunk-aligned typed edge buffer, on-chip.
 
@@ -269,16 +270,28 @@ def typed_negative_sampling_padded(
         ),
     )(chunk_type, rng_arg, tblb)
     out = out3d.reshape(n_chunks, chunk)
-    # Lane-rotation fallback, in XLA-land: a lane the kernel sign-flagged as
-    # colliding borrows the candidate of a CLEAN lane of the SAME chunk
-    # (same relation) at increasing offsets — sampling with replacement, so
-    # each lane's marginal stays uniform over the relation's non-positives.
-    # This replaces full-width redraw rounds: one kernel draw costs ~19
-    # ms/step at Decagon scale, these four vectorized passes over the
-    # [n_chunks, chunk] buffer <1 ms (in-kernel pltpu.roll measured ~75 ms —
-    # lane permutes are slow inside Mosaic).  Residual collisions (all lanes
-    # in a 5-lane neighborhood colliding, ~density^5) keep the sign flag and
-    # fall through to the kernel's accept-leftovers contract.
+    if not _resolve:
+        return out  # raw sign-flagged kernel output (statistical tests)
+    return resolve_borrow(out)
+
+
+def resolve_borrow(out):
+    """Lane-rotation collision resolution, in XLA-land.
+
+    A lane the kernel sign-flagged as colliding borrows the candidate of a
+    CLEAN lane of the SAME chunk (same relation) at increasing offsets —
+    sampling with replacement, so each lane's marginal stays uniform over
+    the relation's non-positives (clean draws are i.i.d. uniform there, and
+    a borrowed value is a copy of some clean draw; chi-square validated in
+    tests/test_sampler_stats.py).  This replaces full-width redraw rounds:
+    one kernel draw costs ~19 ms/step at Decagon scale, these four
+    vectorized passes over the [n_chunks, chunk] buffer <1 ms (in-kernel
+    pltpu.roll measured ~75 ms — lane permutes are slow inside Mosaic).
+    Residual collisions (a whole flagged lane neighborhood, ~density^5)
+    keep the sign flag and fall through to the kernel's accept-leftovers
+    contract (the reference's host loop is unbounded,
+    reference: src/neg_sampling.py:12-16).
+    """
     for shift in (1, 2, 4, 8):
         alt = jnp.roll(out, shift, axis=1)
         out = jnp.where((out < 0) & (alt >= 0), alt, out)
