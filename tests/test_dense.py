@@ -46,7 +46,13 @@ def test_dense_encode_and_grad_parity(small_data):
     # rounds its streamed operand to bf16 by design (nn/gcn.py) and has its
     # own tolerance test (tests/test_pp_dense.py) — drop it here
     g1 = {k: v for k, v in g1.items() if k not in ("pp_a1", "pp_dinv")}
-    m = TIP.for_data(ModelConfig.tip_cat(), data, gs, backend="xla")
+    # negatives='sampled' pins BOTH graphs to the per-slot sampler so the
+    # dense-vs-chunked comparison is exact; the Poissonized dense estimator
+    # (the dense default) draws different negatives by design and has its
+    # own oracle tests (tests/test_dense_bce.py)
+    m = TIP.for_data(
+        ModelConfig.tip_cat(negatives="sampled"), data, gs, backend="xla"
+    )
     p = m.init(jax.random.key(0))
     z0 = jax.jit(m.encode)(p, g0)
     z1 = jax.jit(m.encode)(p, g1)

@@ -148,7 +148,10 @@ def test_ring_encoder_matches_replicated(setup):
 
     mesh = make_mesh(8)
     sgraph, _ = shard_graph(graph, gs, 8)
-    rgraph, rgs = add_ring_pp(sgraph, data, gs, 8)
+    # dense_pp=False: this test pins the COO ppermute ring exactly against
+    # the replicated COO path; the dense row-sharded P-P variant rounds to
+    # bf16 by design and is covered by test_dense_sharded_parity_and_training
+    rgraph, rgs = add_ring_pp(sgraph, data, gs, 8, dense_pp=False)
     rmodel = dataclasses.replace(model, gs=rgs)
     rgraph = place_graph(rgraph, mesh)
     params = model.init(jax.random.key(7))
@@ -337,8 +340,6 @@ def test_ring_with_protein_feature_matrix(setup):
     rng = np.random.default_rng(3)
     x_prot = jnp.asarray(rng.normal(size=(gs.n_prot, 9)), jnp.float32)
     mesh = make_mesh(8)
-    rgraph, rgs = add_ring_pp(graph, data, gs, 8)
-    rmodel = dataclasses.replace(model, gs=rgs)
     # replicated reference with the same feature matrix: re-init params with
     # conv1 sized for the feature dim
     from tip_tpu.nn.encoders import fm_encoder_apply, fm_encoder_init
@@ -349,18 +350,110 @@ def test_ring_with_protein_feature_matrix(setup):
     enc["pp"]["conv1"] = gcn.gcn_conv_init(jax.random.key(32), 9, cfg.pp_hid1)
     z_ref = fm_encoder_apply(enc, graph, cfg, gs, backend="xla", x_prot=x_prot)
 
-    sgraph, n_chunks = shard_graph(rgraph, rgs, 8)
-    sgraph = place_graph(sgraph, mesh)
-    z_ring = jax.jit(
-        shard_map(
-            lambda p, g, xp: fm_encoder_apply(
-                p, g, cfg, rgs, backend="xla", axis_name=EDGE_AXIS, x_prot=xp,
-            ),
-            mesh=mesh,
-            in_specs=(P(), graph_specs(sgraph), P()),
-            out_specs=P(),
+    # COO ppermute ring: exact to fp reassociation; dense row-sharded bf16
+    # GEMM: exact to bf16 input rounding (rel ~2e-3 by construction)
+    for dense_pp, atol in ((False, 1e-4), (True, 2e-3)):
+        rgraph, rgs = add_ring_pp(graph, data, gs, 8, dense_pp=dense_pp)
+        sgraph, n_chunks = shard_graph(rgraph, rgs, 8)
+        sgraph = place_graph(sgraph, mesh)
+        z_ring = jax.jit(
+            shard_map(
+                lambda p, g, xp: fm_encoder_apply(
+                    p, g, cfg, rgs, backend="xla", axis_name=EDGE_AXIS,
+                    x_prot=xp,
+                ),
+                mesh=mesh,
+                in_specs=(P(), graph_specs(sgraph), P()),
+                out_specs=P(),
+            )
+        )(enc, sgraph, x_prot)
+        np.testing.assert_allclose(
+            np.asarray(z_ring), np.asarray(z_ref), atol=atol,
+            err_msg=f"dense_pp={dense_pp}",
         )
-    )(enc, sgraph, x_prot)
-    np.testing.assert_allclose(
-        np.asarray(z_ring), np.asarray(z_ref), atol=1e-4
+
+
+def test_dense_sharded_parity_and_training(setup):
+    """The sharded DENSE fast path (EP relation pages + ring-row dense P-P +
+    fused dense BCE): loss/grad parity vs the single-device dense path with
+    zeroed negative thresholds (deterministic positive half), then a real
+    fixed-key training-improvement check with live Poisson negatives."""
+    import dataclasses
+    from tip_tpu.parallel import (
+        add_ring_pp, ep_param_specs, ep_params, ep_shard_graph,
+        partition_relations, place_params, unep_params,
     )
+    from tip_tpu.parallel.mesh import EDGE_AXIS
+    from tip_tpu.parallel.sharded import graph_specs
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    data, _, _, _ = setup
+    graph, gs = make_graph_arrays(data, dd_chunk=16, pp_window=64,
+                                  pp_chunk=32, dense_dtype="float32")
+    cfg = ModelConfig(
+        mode="cat", prot_drug_dim=6, n_embed=10, n_hid1=8, n_hid2=6,
+        num_base=4, pp_hid1=8, pp_hid2=6,
+    )
+    model = TIP.for_data(cfg, data, gs, backend="xla")
+    mesh = make_mesh(8)
+    det_graph = dict(graph, dd_neg_q=jnp.zeros_like(graph["dd_neg_q"]))
+    sgraph, _ = shard_graph(det_graph, gs, 8)
+    assert "dd_adj_t" not in sgraph  # replicated dense layout dropped
+    rgraph, rgs = add_ring_pp(sgraph, data, gs, 8)
+    assert "pp_a1r" in rgraph  # ... and re-attached row-sharded
+    part = partition_relations(np.asarray(rgraph["dd_chunk_type"]), rgs.n_et, 8)
+    egraph, egs = ep_shard_graph(
+        rgraph, rgs, part, dense_adj=det_graph["dd_adj_t"],
+        neg_q=det_graph["dd_neg_q"],
+    )
+    assert "dd_adj_t" in egraph
+    smodel = dataclasses.replace(model, gs=egs)
+    params = model.init(jax.random.key(3))
+    epp = ep_params(params, part)
+    pspecs = ep_param_specs(epp, EDGE_AXIS)
+    egraph_p = place_graph(egraph, mesh)
+    epp_p = place_params(epp, mesh, pspecs)
+
+    l0, g0 = jax.value_and_grad(
+        lambda p: model.loss(p, det_graph, jax.random.key(7))
+    )(params)
+    ls, gsh = jax.jit(shard_map(
+        lambda p, g, k: jax.value_and_grad(
+            lambda q: smodel.loss(q, g, k, axis_name=EDGE_AXIS))(p),
+        mesh=mesh, in_specs=(pspecs, graph_specs(egraph_p), P()),
+        out_specs=(P(), pspecs),
+    ))(epp_p, egraph_p, jax.random.key(7))
+    assert abs(float(l0) - float(ls)) < 1e-5
+    back = unep_params(jax.tree.map(np.asarray, gsh), part)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g0)[0],
+        jax.tree_util.tree_flatten_with_path(back)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5,
+            err_msg=str(path),
+        )
+
+    # live Poisson negatives: fixed-key loss must improve over 4 steps
+    egraph2, egs2 = ep_shard_graph(
+        rgraph, rgs, part, dense_adj=graph["dd_adj_t"],
+        neg_q=graph["dd_neg_q"],
+    )
+    smodel2 = dataclasses.replace(model, gs=egs2)
+    egraph2_p = place_graph(egraph2, mesh)
+    step = make_sharded_train_step(smodel2, optax.adam(1e-2), mesh,
+                                   param_specs=pspecs)
+    eval_loss = jax.jit(shard_map(
+        lambda p, g, k: smodel2.loss(p, g, k, axis_name=EDGE_AXIS),
+        mesh=mesh, in_specs=(pspecs, graph_specs(egraph2_p), P()),
+        out_specs=P(),
+    ))
+    opt_state = optax.adam(1e-2).init(epp_p)
+    before = float(eval_loss(epp_p, egraph2_p, jax.random.key(0)))
+    p = epp_p
+    for i in range(4):
+        p, opt_state, _ = step(p, opt_state, egraph2_p, jax.random.key(i + 1))
+    after = float(eval_loss(p, egraph2_p, jax.random.key(0)))
+    assert np.isfinite([before, after]).all()
+    assert after < before

@@ -37,6 +37,13 @@ class ModelConfig:
     # Accumulation is always float32; bfloat16 costs ~8 mantissa bits on the
     # one-hot matmul inputs for ~4x MXU rate on v5e.
     kernel_dtype: str = "float32"
+    # Negative-sampling estimator: 'sampled' draws one negative per positive
+    # slot (the reference's estimator, src/neg_sampling.py);
+    # 'poisson' uses the Poissonized dense estimator fused into the dense
+    # BCE kernel (ops/pallas_dense_bce.py) — same expected loss and per-cell
+    # marginals, total draw count Binomial instead of exact.  'auto' =
+    # poisson whenever the dense fast path is active, sampled otherwise.
+    negatives: str = "auto"
 
     def __post_init__(self) -> None:
         if self.mode not in ("cat", "add"):
@@ -48,6 +55,8 @@ class ModelConfig:
             )
         if self.decoder not in ("distmult", "nn"):
             raise ValueError(f"unknown decoder {self.decoder!r}")
+        if self.negatives not in ("auto", "poisson", "sampled"):
+            raise ValueError(f"unknown negatives mode {self.negatives!r}")
 
     @property
     def rgcn_in_dim(self) -> int:

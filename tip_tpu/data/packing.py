@@ -176,6 +176,42 @@ def cast_dense_adj(da: np.ndarray, dtype) -> np.ndarray:
     return out
 
 
+def poisson_neg_thresholds(edges: TypedEdges, n_nodes: int) -> np.ndarray:
+    """Per-relation Binomial tail thresholds for the fused dense BCE kernel
+    (ops/pallas_dense_bce.py).
+
+    For relation t with m_t directed train edges over nonpos_t = n^2 - (its
+    distinct positive cells), the Poissonized negative sampler draws each
+    non-positive cell's count as X ~ Binomial(m_t, 1/nonpos_t), realized by
+    inverse-CDF on one 24-bit uniform: count = sum_k 1[u < q_k] with
+    q_k = P(X >= k), k = 1..3 — exactly min(X, 3).  Returns int32
+    [n_et, 3] = floor(q_k * 2^24), computed in float64.
+    """
+    n_et = edges.n_et
+    m = np.bincount(edges.edge_type, minlength=n_et).astype(np.float64)
+    # distinct positive cells per relation (keys are (type, dst, src))
+    keys = encode_keys(edges, n_nodes)
+    if keys.size:
+        order = np.argsort(keys, kind="stable")
+        first = np.concatenate([[True], np.diff(keys[order]) != 0])
+        distinct = np.bincount(
+            edges.edge_type[order][first], minlength=n_et
+        ).astype(np.float64)
+    else:
+        distinct = np.zeros(n_et, np.float64)
+    nonpos = np.maximum(float(n_nodes) ** 2 - distinct, 1.0)
+    p = 1.0 / nonpos
+    with np.errstate(divide="ignore", invalid="ignore"):
+        log1mp = np.log1p(-p)
+        p0 = np.exp(m * log1mp)  # P(X = 0)
+        p1 = np.where(m > 0, m * p * np.exp((m - 1) * log1mp), 0.0)
+        p2 = np.where(
+            m > 1, m * (m - 1) / 2 * p**2 * np.exp((m - 2) * log1mp), 0.0
+        )
+    q = np.stack([1.0 - p0, 1.0 - p0 - p1, 1.0 - p0 - p1 - p2], axis=1)
+    return np.floor(np.clip(q, 0.0, 1.0) * (1 << 24)).astype(np.int32)
+
+
 def dense_pp_feasible(n_nodes: int) -> bool:
     """Whether the [n_nodes, n_nodes] dense bf16 (A+I) fits a sane HBM
     budget (~1 GB).  Single source of truth for the dense P-P policy —

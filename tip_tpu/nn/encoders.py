@@ -121,15 +121,24 @@ def fm_encoder_apply(
     # P-P net + P->D hand-off (no zero-padding/offset dance — direct
     # bipartite edges).
     if axis_name is not None and gs.pp_ring_shards > 0:
-        # Protein-row ring decomposition: row-sharded GCN with ppermute
-        # exchange, partial P->D aggregation completed by one psum.
+        # Protein-row ring decomposition: row-sharded GCN (dense row-block
+        # GEMM when the bf16 (A+I) rows are shipped, else ppermute ring over
+        # the COO blocks), partial P->D aggregation completed by one psum.
         from tip_tpu.parallel.ring import (
-            ring_hierarchy_apply, ring_pp_encoder_apply,
+            ring_hierarchy_apply,
+            ring_pp_encoder_apply,
+            ring_pp_encoder_apply_dense,
         )
 
-        hp_local = ring_pp_encoder_apply(
-            params["pp"], graph, gs, axis_name, backend=backend, x_prot=x_prot
-        )
+        if "pp_a1r" in graph:
+            hp_local = ring_pp_encoder_apply_dense(
+                params["pp"], graph, gs, axis_name, x_prot=x_prot
+            )
+        else:
+            hp_local = ring_pp_encoder_apply(
+                params["pp"], graph, gs, axis_name, backend=backend,
+                x_prot=x_prot,
+            )
         hd = ring_hierarchy_apply(
             params["hier"], hp_local, graph, graph["dp_deg"], gs.n_drug,
             axis_name,
@@ -166,6 +175,19 @@ def fm_encoder_apply(
         graph["dd_deg"],
     )
     dense_adj = graph.get("dd_adj_t")
+    if dense_adj is not None and (axis_name is None or gs.ep_r_max > 0):
+        # Both layers over ONE adjacency stream (M-first reassociation;
+        # nn/rgcn.py:dense_rgcn_pair_apply).  Under shard_map the adjacency
+        # is EP-partitioned into per-device relation pages co-sharded with
+        # the att rows (parallel/ep.py:ep_shard_graph), so each device
+        # contracts its local relation block and the [n, d_out] aggregate
+        # is psum'd inside the pair.
+        from tip_tpu.nn.rgcn import dense_rgcn_pair_apply
+
+        return dense_rgcn_pair_apply(
+            params["rgcn1"], params["rgcn2"], x, dense_adj, graph["dd_deg"],
+            axis_name=axis_name,
+        )
     x = rgcn_apply_padded(
         params["rgcn1"], x, *dd, gs.n_drug, gs.n_et, backend=backend,
         axis_name=axis_name, kernel_dtype=cfg.kernel_dtype,

@@ -118,13 +118,21 @@ def build_ring_pp(
     )
 
 
-def add_ring_pp(graph: dict, data, gs, n_shards: int):
+def add_ring_pp(graph: dict, data, gs, n_shards: int, dense_pp=None):
     """Attach ring-sharded P-P / P->D buffers to a packed graph dict.
 
     Returns (graph', gs') where gs'.pp_ring_shards = n_shards; the new keys
-    ("ppr_*", "dpr_*") are sharded along their leading shard axis by
-    parallel/sharded.py.  The replicated P-P layouts stay in the dict so the
-    un-sharded eval path keeps working.
+    ("ppr_*", "dpr_*", "pp_a1r") are sharded along their leading shard axis
+    by parallel/sharded.py.  The replicated P-P layouts stay in the dict so
+    the un-sharded eval path keeps working.
+
+    ``dense_pp``: also ship the ROW-SHARDED dense bf16 (A+I)
+    (``pp_a1r`` [n_shards * n_local, n_prot] + replicated ``pp_dinv``) so
+    the sharded encoder runs the same dense GEMM fast path as the
+    single-chip one, each device streaming only its row block
+    (parallel/ring.py:ring_pp_encoder_apply_dense).  None = auto
+    (feasibility + no duplicate edges, the single-device policy,
+    data/packing.py:dense_pp_feasible).
     """
     import dataclasses
 
@@ -141,6 +149,23 @@ def add_ring_pp(graph: dict, data, gs, n_shards: int):
     g["dpr_srcl"] = jnp.asarray(ring.dp_src_local)
     g["dpr_dst"] = jnp.asarray(ring.dp_dst)
     g["dpr_w"] = jnp.asarray(ring.dp_weight)
+    if dense_pp is None:
+        from tip_tpu.data.packing import dense_pp_feasible
+
+        dense_pp = dense_pp_feasible(gs.n_prot)
+    if dense_pp:
+        from tip_tpu.data.packing import dense_pp_parts
+
+        try:
+            a1, dinv = dense_pp_parts(data.pp_norm_index, gs.n_prot)
+        except ValueError:  # duplicate P-P edges: 0/1 can't hold them
+            a1 = None
+        if a1 is not None:
+            pad = n_shards * ring.n_local - a1.shape[0]
+            if pad:
+                a1 = np.pad(a1, ((0, pad), (0, 0)))  # zero rows: inert
+            g["pp_a1r"] = jnp.asarray(a1)
+            g["pp_dinv"] = jnp.asarray(dinv)
     return g, dataclasses.replace(gs, pp_ring_shards=n_shards)
 
 
@@ -219,6 +244,54 @@ def ring_pp_encoder_apply(params, graph, gs, axis_name: str,
     h = h @ params["conv2"]["weight"]
     h = spmm(h)
     return h + params["conv2"]["bias"]
+
+
+def ring_pp_encoder_apply_dense(params, graph, gs, axis_name: str,
+                                x_prot=None):
+    """Row-sharded 2-layer P-P GCN over the dense bf16 (A+I) row block.
+
+    Each device holds ``pp_a1r`` rows [n_local, n_prot] (the dense
+    counterpart of the COO ring blocks; same n_local row layout, so the
+    P->D buffers of :func:`ring_hierarchy_apply` consume the output
+    directly) and computes
+
+        out_local = dinv_local * (A1_local @ (dinv * (x @ W)))
+
+    exactly like nn/gcn.py:gcn_conv_apply_dense but for its row shard.
+    Layer 1 under identity features needs NO communication (the weight
+    table is replicated); layer 2 all-gathers the [n_prot, d] hidden
+    (~2.4 MB at Decagon scale — ICI, trivial next to the per-device
+    adjacency stream it unlocks).  Returns hp_local [n_local, pp_hid2].
+    """
+    k = gs.pp_ring_shards
+    n_local = ring_shard_size(gs.n_prot, k)
+    a1l = graph["pp_a1r"]  # [n_local, n_prot] under shard_map
+    dinv = graph["pp_dinv"]  # [n_prot] replicated
+    dinv_l = local_rows(dinv[:, None], axis_name, k, n_local)
+
+    def conv_local(xw_full, bias):
+        g = xw_full * dinv[: xw_full.shape[0], None]
+        if a1l.dtype != jnp.float32 and jax.default_backend() == "cpu":
+            out = a1l.astype(jnp.float32) @ g.astype(a1l.dtype).astype(
+                jnp.float32)
+        else:
+            out = jnp.matmul(
+                a1l, g.astype(a1l.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        out = out * dinv_l
+        return out if bias is None else out + bias
+
+    if x_prot is None:
+        xw = params["conv1"]["weight"]  # identity features: table = activation
+    else:
+        xw = x_prot @ params["conv1"]["weight"]
+    h_local = jax.nn.relu(conv_local(xw, params["conv1"]["bias"]))
+    # layer 2 needs all source rows of the hidden: gather the row shards
+    h_full = jax.lax.all_gather(h_local, axis_name, tiled=True)[: gs.n_prot]
+    return conv_local(
+        h_full @ params["conv2"]["weight"], params["conv2"]["bias"]
+    )
 
 
 def ring_hierarchy_apply(params, hp_local, graph, dp_deg, n_drug: int,

@@ -40,6 +40,9 @@ from tip_tpu.parallel.mesh import EDGE_AXIS
 _SHARDED_KEYS = (
     "dd_src2d", "dd_dst2d", "dd_chunk_type", "dd_chunk_type_local", "dd_valid",
     "ppr_src", "ppr_dstl", "ppr_w", "dpr_srcl", "dpr_dst", "dpr_w",
+    # dense fast-path shards: EP relation pages (parallel/ep.py) and the
+    # ring-row-sharded dense (A+I) (parallel/ring.py)
+    "dd_adj_t", "dd_neg_q", "pp_a1r",
 )
 
 
@@ -51,15 +54,18 @@ def shard_graph(graph: dict, gs, n_devices: int):
     nothing to aggregation or loss.  Returns (graph', n_chunks_padded).
     """
     n_chunks = graph["dd_chunk_type"].shape[0]
-    # The dense buffers are single-device fast paths: under shard_map they
-    # would be replicated (full HBM copy per device) — the dense R-GCN /
-    # loss branches are disabled anyway (nn/rgcn.py, TIP.loss), and the
-    # dense P-P GEMM (728 MB bf16 at Decagon scale) would run redundantly
-    # on every device — drop them so sharded runs take the partitioned /
-    # windowed paths.
+    # The single-device dense buffers are replicated layouts: under
+    # shard_map they would cost a full HBM copy per device and the dense
+    # branches would double-count — drop them here.  Their SHARDED
+    # counterparts are re-attached downstream: EP relation pages
+    # dd_adj_t/dd_neg_q by parallel/ep.py:ep_shard_graph and the row-sharded
+    # pp_a1r by parallel/ring.py:add_ring_pp, so the sharded step runs the
+    # same dense fast paths per-device.
+    # (pp_dinv survives: it is a tiny [n_prot] diagonal the row-sharded
+    # dense P-P path reuses, harmless replicated.)
     graph = {
         k: v for k, v in graph.items()
-        if k not in ("dd_adj_t", "pp_a1", "pp_dinv")
+        if k not in ("dd_adj_t", "dd_neg_q", "pp_a1")
     }
     pad = (-n_chunks) % n_devices
     if pad == 0:

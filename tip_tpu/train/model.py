@@ -187,6 +187,13 @@ def make_graph_arrays(
         # host-side exactness-checked cast so only the final compute-dtype
         # tensor is ever transferred / resident on device
         graph["dd_adj_t"] = jnp.asarray(cast_dense_adj(da, jnp.dtype(dense_dtype)))
+        # Binomial tail thresholds for the fused Poissonized-negative dense
+        # BCE (ops/pallas_dense_bce.py); static per split.
+        from tip_tpu.data.packing import poisson_neg_thresholds
+
+        graph["dd_neg_q"] = jnp.asarray(
+            poisson_neg_thresholds(data.dd_train, data.n_drug)
+        )
         from tip_tpu.data.packing import dense_pp_feasible
 
         if pp_dense and dense_pp_feasible(data.n_prot):
@@ -302,6 +309,14 @@ class TIP:
         else:
             slot = graph["ep_slot"]
             fix = lambda att: att.reshape(-1, att.shape[-1])[slot]
+            # The dense pages are in EP slot order — the unsharded path
+            # gathers att back to GLOBAL relation order, so the dense
+            # branch would mis-pair them: fall back to the chunked kernels
+            # (this path only serves eval-time encodes at EP scale).
+            graph = {
+                k: v for k, v in graph.items()
+                if k not in ("dd_adj_t", "dd_neg_q")
+            }
         out = dict(enc_params)
         for name in ("rgcn1", "rgcn2"):
             out[name] = dict(enc_params[name], att=fix(enc_params[name]["att"]))
@@ -372,6 +387,41 @@ class TIP:
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         z = self.encode(params, graph, remat=remat, axis_name=axis_name)
+        dense_adj = graph.get("dd_adj_t")
+        if (
+            dense_adj is not None
+            and self.cfg.decoder == "distmult"
+            and self.cfg.negatives in ("auto", "poisson")
+            and "dd_neg_q" in graph
+            # unsharded plain graph, or shard_map with relation-partitioned
+            # pages; a replicated dense adjacency under shard_map would
+            # double-count and never ships (parallel/sharded.py drops it)
+            and (
+                (axis_name is None and not gs.ep_r_max)
+                or (axis_name is not None and gs.ep_r_max > 0)
+            )
+        ):
+            # Fused dense BCE: positives AND Poissonized negatives from one
+            # logits tile per relation — the sampler, the negative SDDMM and
+            # the separate positive pass all collapse into this kernel
+            # (ops/pallas_dense_bce.py; XLA fallback off-TPU).  Under
+            # shard_map the adjacency pages / thresholds / decoder rows are
+            # co-partitioned by relation (parallel/ep.py), each device
+            # scores its local block and ONE psum totals the loss; the
+            # device-folded key decorrelates the per-page PRNG streams.
+            if self.backend == "pallas":
+                from tip_tpu.ops.pallas_dense_bce import dense_bce_sum as bce
+            else:
+                from tip_tpu.ops.pallas_dense_bce import (
+                    dense_bce_sum_xla as bce,
+                )
+            w = params["decoder"]["weight"]
+            if axis_name is not None and gs.ep_r_max:
+                w = w[0]  # [1, r_max, d] shard view -> local rows
+            total = bce(w, z, dense_adj, graph["dd_neg_q"], key)
+            if axis_name is not None:
+                total = jax.lax.psum(total, axis_name)
+            return total / float(gs.dd_n_valid)
         # Sampling is keyed by GLOBAL relation id (the bitmap layout) even
         # when the decoder/encoder run on EP-local relation rows.
         neg_src2d, neg_dst2d = typed_negative_sampling_chunked(
