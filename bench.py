@@ -20,11 +20,17 @@ Baselines (extra JSON keys, honest about provenance):
   * ``vs_torch_cpu``    — ours / a MEASURED torch-CPU run of the reference
     algorithm on this machine (scripts/torch_oracle_tip.py, same packed
     graph; see runs/torch_oracle_cat.json).
-  * ``achieved_tflops`` / ``mxu_util_est`` — executed one-hot-matmul FLOPs
-    per step divided by wall time, and that rate against the v5e MXU peak
-    for the measured precision (197 TFLOP/s bf16; f32 inputs decompose on
-    the MXU, conservatively 1/4 rate) — the roofline context the raw
-    edges/s number lacks.
+  * ``executed_tflops`` / ``executed_matmul_util`` — GEMM FLOPs the dense
+    formulation actually executes per step divided by wall time, against
+    the v5e MXU peak for the measured precision (197 TFLOP/s bf16; f32
+    inputs decompose on the MXU, conservatively 1/4 rate).  An upper bound
+    on useful work: the dense path trades ~50x FLOP inflation (1.8%
+    adjacency density) for MXU shapes.
+  * ``algorithmic_tflops`` — the per-edge useful math of the reference
+    algorithm divided by the same wall time: what an idealized sparse
+    implementation would have to sustain to match this step time.  The
+    executed/algorithmic PAIR is the honest roofline context
+    (see _step_flops).
 """
 
 from __future__ import annotations
@@ -42,51 +48,65 @@ V5E_PEAK_BF16 = 197e12
 V5E_PEAK_F32 = V5E_PEAK_BF16 / 4
 
 
-def _step_mxu_flops(gs, cfg, dense_path: bool) -> float:
-    """Matmul FLOPs executed per training step (fwd + bwd).
+def _step_flops(data, gs, cfg, dense_path: bool):
+    """(executed, algorithmic) matmul FLOPs per training step (fwd + bwd).
 
-    ``dense_path`` True (dense_rgcn_feasible held, the benched config on
-    real hardware): R-GCN aggregation runs on the dense relation adjacency
-    (data/packing.py:dense_relation_adj): per layer, fwd is one batched GEMM
-    [R,n,n]x[n,d] (2*R*n^2*d flops) and the dx backward the same again.  The
-    decoder scores POSITIVES densely too (all n^2 pairs per relation,
-    nn/decoders.py:distmult_dense_pos_bce_sum; fwd + remat + 2 grad einsums
-    ~4x fwd) and NEGATIVES through the chunked one-hot SDDMM
-    (ops/pallas_segment.py): fwd runs 2 gathers at [D,N]x[N,C] per chunk,
-    its backward ~2x fwd.
+    ``executed`` counts the dense/one-hot GEMM work the TPU actually runs —
+    the honest numerator for a hardware-utilization estimate, but NOT a
+    measure of useful work: the dense formulation trades ~50x FLOP
+    inflation (1.8% adjacency density) for MXU shapes and zero per-edge
+    gathers.
 
-    ``dense_path`` False (big-graph fallback): both R-GCN binning and the
-    positive decoder run the chunked one-hot kernels, whose per-chunk GEMMs
-    dominate; count those instead of the dense formulas.
+    ``algorithmic`` counts the per-edge useful math of the reference
+    algorithm (what an idealized sparse machine would do): R-GCN neighbor
+    binning E*d_in accumulate FLOPs per layer + the basis einsums + root,
+    the P-P SpMM 2*E_pp*d per layer, and 4*d FLOPs per scored edge for the
+    DistMult decoder on one positive and one negative per edge.  Dividing
+    this by wall time gives the utilization an edge-proportional sparse
+    implementation would need — the pair (executed, algorithmic) brackets
+    the honest picture.
 
-    NEGATIVES run the two-level SDDMM (ops/pallas_sddmm2.py): per chunk the
-    forward is two single-tile gathers [NB*D, 128] x [128, C] and the
-    backward two scatters of the same size (the forward's gathered
-    endpoints are residuals — nothing is regathered), so bwd = fwd, not
-    2x fwd as the v1 full-axis kernel cost.
-
-    The basis einsums, P-P SpMM (dense: 2*N_prot^2*d, ~8%) and sampler are
-    small; ignored — utilization estimates here are an upper bound.
+    Executed model for the dense/poisson default (the benched config):
+      * M-first R-GCN (nn/rgcn.py:dense_rgcn_pair_apply): one
+        2*R*n^2*(B1+B2) adjacency contraction fwd + same for d(att) bwd,
+        plus the small [B,n,n]x[n,d] qd einsums (fwd + ~2x bwd);
+      * fused dense BCE (ops/pallas_dense_bce.py): logits 2*R*n^2*d fwd,
+        two grad contractions bwd;
+      * dense P-P (nn/gcn.py): 2*Np^2*d per layer fwd, ~2x bwd.
+    Fallback (no dense adjacency): the chunked one-hot kernel model of r3.
     """
     c, n, k = gs.dd_chunk, gs.n_drug, gs.dd_n_chunks
-    r = gs.n_et
+    r, b = gs.n_et, cfg.num_base
+    d_in1, d_in2, d_out = cfg.rgcn_in_dim, cfg.n_hid1, cfg.n_hid2
+    np_, e_pp = gs.n_prot, data.pp_norm_index.shape[1]
+    e_dd = gs.dd_n_valid
     if dense_path:
-        dense = lambda d: 2.0 * r * n * n * d  # one batched GEMM, fwd
-        rgcn_fwd = dense(cfg.rgcn_in_dim) + dense(cfg.n_hid1)
-        rgcn_bwd = rgcn_fwd
-        dec_pos = 4 * dense(cfg.n_hid2)  # fwd + remat + dz/dw einsums
+        m_pass = 2.0 * r * n * n * (2 * b)  # both layers' M, one stream
+        qd = 2.0 * b * n * n * (d_in1 + d_in2)
+        rgcn = 2 * m_pass + 3 * qd  # fwd M + bwd datt; qd fwd + dM + dx
+        bce = 3 * (2.0 * r * n * n * d_out)  # logits fwd + H/Ht bwd
+        pp = 3 * (2.0 * np_ * np_ * (cfg.pp_hid1 + cfg.pp_hid2))
+        executed = rgcn + bce + pp
     else:
-        # chunked one-hot binning: per chunk, scatter [n+1,C]x[C,d] GEMM
         onehot = lambda d: 2.0 * (n + 1) * c * d * k
-        rgcn_fwd = onehot(cfg.rgcn_in_dim) + onehot(cfg.n_hid1)
-        rgcn_bwd = 2 * rgcn_fwd  # dx gather + one-hot grads
-        dec_pos = 3 * (4.0 * c * n * cfg.n_hid2) * k  # chunked SDDMM fwd+bwd
-    from tip_tpu.ops.pallas_sddmm2 import _nb
+        rgcn = 3 * (onehot(d_in1) + onehot(d_in2))
+        dec_pos = 3 * (4.0 * c * n * d_out) * k
+        from tip_tpu.ops.pallas_sddmm2 import _nb
 
-    nb = _nb(n)  # two-level gather hi-blocks, from the kernel itself
-    dec_neg_fwd = (2.0 * 2 * c * 128 * nb * cfg.n_hid2) * k
-    dec_neg_bwd = dec_neg_fwd
-    return rgcn_fwd + rgcn_bwd + dec_pos + dec_neg_fwd + dec_neg_bwd
+        dec_neg = 2 * (2.0 * 2 * c * 128 * _nb(n) * d_out) * k
+        pp = 3 * 2.0 * e_pp * (cfg.pp_hid1 + cfg.pp_hid2)
+        executed = rgcn + dec_pos + dec_neg + pp
+    # algorithmic: per-edge useful work, fwd+bwd ~ 3x fwd
+    alg_rgcn = 3 * (
+        e_dd * (d_in1 + d_in2)  # neighbor binning accumulates
+        + 2.0 * r * b * n * (d_in1 + d_in2)  # att mix
+        + 2.0 * b * n * (d_in1 * cfg.n_hid1 + d_in2 * d_out)  # basis
+        + 2.0 * n * (d_in1 * cfg.n_hid1 + d_in2 * d_out)  # root
+    )
+    alg_pp = 3 * (2.0 * e_pp * (cfg.pp_hid1 + cfg.pp_hid2)
+                  + 2.0 * np_ * cfg.pp_hid1 * cfg.pp_hid2)
+    alg_dec = 3 * (2 * e_dd * 4.0 * d_out)  # pos + neg, 4d per scored edge
+    return executed, alg_rgcn + alg_pp + alg_dec
 
 
 def _bench_one(data, kernel_dtype: str, n_steps: int = 30):
@@ -146,13 +166,19 @@ def main() -> None:
     results = {}
     for dtype in ("float32", "bfloat16"):
         dt, gs, cfg, dense_path = _bench_one(data, dtype)
-        flops = _step_mxu_flops(gs, cfg, dense_path)
+        executed, algorithmic = _step_flops(data, gs, cfg, dense_path)
         peak = V5E_PEAK_F32 if dtype == "float32" else V5E_PEAK_BF16
         results[dtype] = {
             "sec_per_step": round(dt, 4),
             "edges_per_s": round(gs.dd_n_valid / dt, 1),
-            "achieved_tflops": round(flops / dt / 1e12, 2),
-            "mxu_util_est": round(flops / dt / peak, 3),
+            # executed = dense-formulation GEMM work actually run (upper
+            # bound on useful FLOPs); algorithmic = per-edge useful math of
+            # the reference algorithm.  Report BOTH — executed_util reads
+            # high because density is ~2%, algorithmic_tflops is what a
+            # sparse implementation would need to match this wall time.
+            "executed_tflops": round(executed / dt / 1e12, 2),
+            "executed_matmul_util": round(executed / dt / peak, 3),
+            "algorithmic_tflops": round(algorithmic / dt / 1e12, 3),
         }
         print(f"[bench] {dtype}: {results[dtype]}", file=sys.stderr)
 
