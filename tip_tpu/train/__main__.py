@@ -35,6 +35,12 @@ def main() -> None:
         help="sparse-ops backend (auto: pallas on TPU, xla elsewhere)",
     )
     parser.add_argument("--profile-dir", default=None)
+    parser.add_argument(
+        "--split-seed", type=int, default=None,
+        help="90/10 split seed (default: the training seed).  Pin this while "
+             "varying --seed for seed-replication runs on one split "
+             "(reference protocol: one split, tip.py:21-36)",
+    )
     parser.add_argument("--out", default=None, help="write final metrics JSON here")
     parser.add_argument(
         "--report", default=None,
@@ -56,9 +62,10 @@ def main() -> None:
     from tip_tpu.train.loop import train
 
     cfg, tcfg = configs_from_args(args)
+    split_seed = tcfg.seed if args.split_seed is None else args.split_seed
     if args.synthetic:
         raw = synthetic_trigraph()
-        data = build_trigraph(raw, split_rate=tcfg.split_rate, seed=tcfg.seed)
+        data = build_trigraph(raw, split_rate=tcfg.split_rate, seed=split_seed)
     else:
         kw = {"data_dir": args.data_dir} if args.data_dir else {}
         if args.et_band:
@@ -69,7 +76,7 @@ def main() -> None:
         if args.mono:
             kw["mono"] = True
         raw = load_decagon_raw(**kw)
-        data = cached_trigraph(raw, split_rate=tcfg.split_rate, seed=tcfg.seed)
+        data = cached_trigraph(raw, split_rate=tcfg.split_rate, seed=split_seed)
     if args.feat_norm == "sqrt" and data.drug_feat is not None:
         import dataclasses
 
