@@ -176,6 +176,28 @@ def cast_dense_adj(da: np.ndarray, dtype) -> np.ndarray:
     return out
 
 
+def pad_dense_adj(da: np.ndarray) -> np.ndarray:
+    """Zero-pad [R, n, n] relation pages to HBM tile bounds
+    [R, roundup(n, 8), roundup(n, 128)].
+
+    XLA already stores the array physically padded to these tile multiples;
+    aligning the LOGICAL shape lets Pallas page DMAs run on whole tiles —
+    measured 4.7 -> 3.1 ms for the full 913 MB page stream at Decagon scale
+    (runs/strip_probe_bce3.out; unaligned page slices are outright rejected
+    by manual DMA: 'slice must be aligned to tiling').  Pad cells are ZERO:
+    inert in every consumer (counts weight nothing; the dense BCE kernels
+    mask their negative draws to the true extent).
+    """
+    # sublane tile depth scales inversely with itemsize (f32 8, bf16 16,
+    # int8 32 — narrow dtypes pack multiple rows per (8, 128) tile)
+    sub = 8 * max(1, 4 // da.dtype.itemsize)
+    n1 = -(-da.shape[1] // sub) * sub
+    n2 = -(-da.shape[2] // 128) * 128
+    if (n1, n2) == da.shape[1:]:
+        return da
+    return np.pad(da, ((0, 0), (0, n1 - da.shape[1]), (0, n2 - da.shape[2])))
+
+
 def poisson_neg_thresholds(edges: TypedEdges, n_nodes: int) -> np.ndarray:
     """Per-relation Binomial tail thresholds for the fused dense BCE kernel
     (ops/pallas_dense_bce.py).

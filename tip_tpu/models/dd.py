@@ -70,10 +70,14 @@ def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024,
             bitmap_byte_planes(data.dd_train_bitmap, data.n_et, data.n_drug)
         )
     if dense_dtype is not None:
-        from tip_tpu.data.packing import cast_dense_adj, dense_relation_adj
+        from tip_tpu.data.packing import (
+            cast_dense_adj, dense_relation_adj, pad_dense_adj,
+        )
 
         da = dense_relation_adj(data.dd_train, data.n_drug)
-        graph["dd_adj_t"] = jnp.asarray(cast_dense_adj(da, jnp.dtype(dense_dtype)))
+        graph["dd_adj_t"] = jnp.asarray(
+            pad_dense_adj(cast_dense_adj(da, jnp.dtype(dense_dtype)))
+        )
     if data.drug_feat is not None:
         graph["drug_feat"] = jnp.asarray(data.drug_feat)
     if data.d_norm is not None:

@@ -74,21 +74,22 @@ def distmult_dense_pos_bce_sum(
     (tests/test_dense.py); replaces the positive half of the decoder that
     the reference gathers per edge (reference: src/layers.py:590-592).
     """
-    n_et, n, _ = dense_adj.shape
+    n_et, n1, n2 = dense_adj.shape  # may be tile-padded (pad_dense_adj)
     block = min(block, n_et)
     cdt = jnp.dtype(kernel_dtype)
-    zc = z.astype(cdt)
+    zc = jnp.pad(z, ((0, n1 - z.shape[0]), (0, 0))).astype(cdt)
+    zc2 = jnp.pad(z, ((0, n2 - z.shape[0]), (0, 0))).astype(cdt)
     mixed_ok = cdt == jnp.float32 or jax.default_backend() != "cpu"
 
     def block_sum(wb, da, fresh):
-        zw = zc[None] * wb.astype(cdt)[:, None, :]  # [B, n, d]
+        zw = zc[None] * wb.astype(cdt)[:, None, :]  # [B, n1, d]
         if mixed_ok:
             logits = jnp.einsum(
-                "tnf,mf->tnm", zw, zc, preferred_element_type=jnp.float32
+                "tnf,mf->tnm", zw, zc2, preferred_element_type=jnp.float32
             )
         else:  # CPU XLA lacks the bf16->f32 dot; f32 over bf16-rounded inputs
             logits = jnp.einsum(
-                "tnf,mf->tnm", zw.astype(jnp.float32), zc.astype(jnp.float32)
+                "tnf,mf->tnm", zw.astype(jnp.float32), zc2.astype(jnp.float32)
             )
         val = jax.nn.softplus(-logits) * da.astype(jnp.float32)
         return jnp.sum(val * fresh[:, None, None])

@@ -109,6 +109,8 @@ def dense_rgcn_pair_apply(
         [params1["att"], params2["att"]], axis=1
     )  # [R(_local), B1 + B2]
     b1 = params1["att"].shape[1]
+    n_true = degree.shape[0]
+    n2 = dense_adj.shape[2]  # tile-padded extent (data/packing.py:pad_dense_adj)
     if dense_adj.dtype != jnp.float32 and jax.default_backend() == "cpu":
         # CPU XLA has no mixed bf16->f32 dot; round att to the storage dtype
         # then contract in f32 — bit-identical to the TPU bf16-input MXU path
@@ -124,7 +126,7 @@ def dense_rgcn_pair_apply(
         )
 
     def half(params, m_half, h):
-        hd = h.astype(dense_adj.dtype)
+        hd = jnp.pad(h, ((0, n2 - n_true), (0, 0))).astype(dense_adj.dtype)
         if dense_adj.dtype != jnp.float32 and jax.default_backend() == "cpu":
             qd = jnp.einsum(
                 "bds,sf->bdf",
@@ -135,7 +137,7 @@ def dense_rgcn_pair_apply(
             qd = jnp.einsum(
                 "bds,sf->bdf", m_half, hd, preferred_element_type=jnp.float32
             )
-        agg = jnp.einsum("bdf,bfe->de", qd, params["basis"])
+        agg = jnp.einsum("bdf,bfe->de", qd, params["basis"])[:n_true]
         if axis_name is not None:
             agg = jax.lax.psum(agg, axis_name)
         out = mean_from_sum(agg, degree) + h @ params["root"]
@@ -184,9 +186,14 @@ def rgcn_apply_padded(
     if axis_name is not None:
         dense_adj = None  # replicated; see docstring
     if dense_adj is not None:
-        # pt [n_et, d_in, n_nodes] — same transposed layout as the Pallas
-        # kernel, contracted by the basis einsums directly.
-        xd = x.astype(dense_adj.dtype)
+        # pt [n_et, d_in, n_pad] — same transposed layout as the Pallas
+        # kernel, contracted by the basis einsums directly.  The adjacency
+        # may be tile-padded (data/packing.py:pad_dense_adj): pad x's rows
+        # to the source extent (zero pads contribute nothing) and slice the
+        # destination extent back at the end.
+        xd = jnp.pad(
+            x, ((0, dense_adj.shape[2] - x.shape[0]), (0, 0))
+        ).astype(dense_adj.dtype)
         if dense_adj.dtype != jnp.float32 and jax.default_backend() == "cpu":
             # CPU XLA has no mixed bf16->f32 dot; rounding the inputs to the
             # compute dtype then contracting in f32 is bit-identical to the
@@ -201,7 +208,7 @@ def rgcn_apply_padded(
                 preferred_element_type=jnp.float32,
             )
         q = jnp.einsum("tb,tdn->bdn", params["att"], pt)
-        agg = jnp.einsum("bdn,bde->ne", q, params["basis"])
+        agg = jnp.einsum("bdn,bde->ne", q, params["basis"])[: x.shape[0]]
     elif backend == "pallas":
         from tip_tpu.ops.pallas_segment import typed_neighbor_sum_padded_t
 

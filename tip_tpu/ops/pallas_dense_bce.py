@@ -57,97 +57,147 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _counts(u24, q_ref, t, da):
+def _counts(u24, q_ref, t, da, valid):
     """Per-cell negative counts from a 24-bit uniform draw.
 
     q_ref: SMEM [R * 3] int32 thresholds (floor(P(X >= k) * 2^24)).
-    Positive cells (da > 0) are excluded — the reference rejects
-    collisions with same-relation positives.
+    Positive cells (da > 0) and tile-padding cells (``valid`` False — the
+    pages are padded to HBM tile bounds, data/packing.py:pad_dense_adj) are
+    excluded; the reference rejects collisions with same-relation
+    positives.
     """
     cnt = jnp.zeros(u24.shape, jnp.float32)
     for k in range(3):
         cnt = cnt + (u24 < q_ref[3 * t + k]).astype(jnp.float32)
-    return jnp.where(da > 0, jnp.float32(0), cnt)
+    return jnp.where((da > 0) | jnp.logical_not(valid), jnp.float32(0), cnt)
 
 
-def _fwd_kernel(n, seed_ref, q_ref, w_ref, zt_ref, da_ref, z_ref, out_ref):
-    t = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0], t)
-    z = z_ref[...]  # [n, d] f32
-    w_row = w_ref[0]  # [1, d]
-    da = da_ref[0].astype(jnp.float32)  # [n, n]
-    logits = jnp.dot(
-        z * w_row, zt_ref[...], preferred_element_type=jnp.float32
-    )  # [n, n]
-    sp = jax.nn.softplus(-logits)
-    u24 = jax.lax.shift_right_logical(
-        pltpu.bitcast(pltpu.prng_random_bits((n, n)), jnp.int32), 8
-    )
-    cnt = _counts(u24, q_ref, t, da)
-    # softplus(L) = softplus(-L) + L: one transcendental serves both halves
-    out_ref[0, 0, 0] = jnp.sum(sp * da + (sp + logits) * cnt)
+# Relation pages processed per grid step.  The strip probe
+# (runs/strip_probe_bce.out) showed one-page-per-step pipelining pays
+# ~4 us/page of dispatch/DMA-issue overhead — 4.7 ms just to STREAM the
+# 1,097 pages that one XLA reduce covers in 1.13 ms.  Batching P pages per
+# step divides that overhead by P; the elementwise work runs per page
+# inside the step so VMEM holds one [n, n] working set at a time.
+PAGES = 4
 
 
-def _bwd_kernel(n, seed_ref, q_ref, w_ref, zt_ref, da_ref, z_ref,
+def _valid_mask(nt, n1, n2):
+    if (n1, n2) == (nt, nt):
+        return jnp.full((n1, n2), True)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+    return (row < nt) & (col < nt)
+
+
+def _fwd_kernel(nt, n_et, seed_ref, q_ref, w_ref, zt_ref, da_ref, z_ref,
+                out_ref):
+    i = pl.program_id(0)
+    z = z_ref[...]  # [n1, d] f32 (rows >= nt zero)
+    zt = zt_ref[...]
+    n1, n2 = da_ref.shape[1:]
+    valid = _valid_mask(nt, n1, n2)
+    for p in range(PAGES):
+        t = i * PAGES + p
+        out_ref[p, 0, 0] = 0.0  # pad pages of the last block stay zero
+
+        @pl.when(t < n_et)
+        def _():
+            pltpu.prng_seed(seed_ref[0], t)
+            da = da_ref[p].astype(jnp.float32)  # [n1, n2]
+            logits = jnp.dot(
+                z * w_ref[p], zt, preferred_element_type=jnp.float32
+            )  # [n1, n2]
+            sp = jax.nn.softplus(-logits)
+            u24 = jax.lax.shift_right_logical(
+                pltpu.bitcast(pltpu.prng_random_bits((n1, n2)), jnp.int32), 8
+            )
+            cnt = _counts(u24, q_ref, t, da, valid)
+            # softplus(L) = softplus(-L) + L: one transcendental, both halves
+            out_ref[p, 0, 0] = jnp.sum(sp * da + (sp + logits) * cnt)
+
+
+def _bwd_kernel(nt, n_et, seed_ref, q_ref, w_ref, zt_ref, da_ref, z_ref,
                 dw_ref, dz_ref):
-    t = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0], t)  # identical stream to the forward
+    i = pl.program_id(0)
     z = z_ref[...]
-    w_row = w_ref[0]
-    da = da_ref[0].astype(jnp.float32)
-    logits = jnp.dot(
-        z * w_row, zt_ref[...], preferred_element_type=jnp.float32
-    )
-    sg = jax.nn.sigmoid(-logits)
-    u24 = jax.lax.shift_right_logical(
-        pltpu.bitcast(pltpu.prng_random_bits((n, n)), jnp.int32), 8
-    )
-    cnt = _counts(u24, q_ref, t, da)
-    # dLoss/dlogits = -DA * sg + C * sigmoid(L),  sigmoid(L) = 1 - sg
-    g = cnt - sg * (da + cnt)  # [n, n]
-    h = jnp.dot(g, z, preferred_element_type=jnp.float32)  # [n, d] (dst rows)
-    ht = jax.lax.dot_general(  # G^T @ z without a transpose: [n, d] (src rows)
-        g, z, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dw_ref[0, 0] = jnp.sum(z * h, axis=0)
+    zt = zt_ref[...]
+    n1, n2 = da_ref.shape[1:]
+    valid = _valid_mask(nt, n1, n2)
 
-    @pl.when(t == 0)
+    @pl.when(i == 0)
     def _():
         dz_ref[...] = jnp.zeros_like(dz_ref)
 
-    dz_ref[...] += w_row * (h + ht)
+    for p in range(PAGES):
+        t = i * PAGES + p
+
+        @pl.when(t < n_et)
+        def _():
+            pltpu.prng_seed(seed_ref[0], t)  # identical stream to the fwd
+            da = da_ref[p].astype(jnp.float32)
+            logits = jnp.dot(
+                z * w_ref[p], zt, preferred_element_type=jnp.float32
+            )
+            sg = jax.nn.sigmoid(-logits)
+            u24 = jax.lax.shift_right_logical(
+                pltpu.bitcast(pltpu.prng_random_bits((n1, n2)), jnp.int32), 8
+            )
+            cnt = _counts(u24, q_ref, t, da, valid)
+            # dLoss/dlogits = -DA * sg + C * sigmoid(L), sigmoid(L) = 1 - sg
+            g = cnt - sg * (da + cnt)  # [n1, n2]
+            # H[i,f] = sum_j G[i,j] z[j,f]: contract the SOURCE axis against
+            # z^T's lane axis (no transpose materialized); Ht[j,f] likewise
+            # contracts the DEST axis against the [n1, d] z copy.  Rows
+            # beyond the true extent are zero (g vanishes there).
+            h = jax.lax.dot_general(  # [n1, d]
+                g, zt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ht = jax.lax.dot_general(  # [n2, d]
+                g, z, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dw_ref[p, 0] = jnp.sum(z * h, axis=0)
+            dz_ref[...] += w_ref[p] * (h + ht[: h.shape[0]])
 
 
 def _call(kernel, out_shape, out_specs, w, z, dense_adj, q_flat, seed_arr):
-    n_et, n, _ = dense_adj.shape
-    d = z.shape[1]
+    n_et, n1, n2 = dense_adj.shape
+    nt, d = z.shape
+    n_blk = -(-n_et // PAGES)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # seed, thresholds
-        grid=(n_et,),
+        grid=(n_blk,),
         in_specs=[
-            pl.BlockSpec((1, 1, d), lambda t, *sp: (t, 0, 0),
-                         memory_space=pltpu.VMEM),  # w row
-            pl.BlockSpec((d, n), lambda t, *sp: (0, 0),
+            pl.BlockSpec((PAGES, 1, d), lambda i, *sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # w rows
+            pl.BlockSpec((d, n2), lambda i, *sp: (0, 0),
                          memory_space=pltpu.VMEM),  # z^T (resident)
-            pl.BlockSpec((1, n, n), lambda t, *sp: (t, 0, 0),
-                         memory_space=pltpu.VMEM),  # adjacency page
-            pl.BlockSpec((n, d), lambda t, *sp: (0, 0),
+            pl.BlockSpec((PAGES, n1, n2), lambda i, *sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # adjacency pages
+            pl.BlockSpec((n1, d), lambda i, *sp: (0, 0),
                          memory_space=pltpu.VMEM),  # z (resident)
         ],
         out_specs=out_specs,
     )
     zf = z.astype(jnp.float32)
+    z1 = jnp.pad(zf, ((0, n1 - nt), (0, 0)))
+    zt = jnp.pad(zf, ((0, n2 - nt), (0, 0))).T
+    # pad the relation axis of the SMALL per-relation operands to the block
+    # multiple (the adjacency keeps its true extent: partial final block
+    # reads are discarded by the t < n_et guard)
+    pad = n_blk * PAGES - n_et
+    w3 = jnp.pad(w.astype(jnp.float32)[:, None, :], ((0, pad), (0, 0), (0, 0)))
     return pl.pallas_call(
-        functools.partial(kernel, n),
+        functools.partial(kernel, nt, n_et),
         out_shape=out_shape,
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_et * n * n * (3 * d),
-            bytes_accessed=int(dense_adj.nbytes) + n_et * n * n * 4,
-            transcendentals=n_et * n * n,
+            flops=2 * n_et * n1 * n2 * (3 * d),
+            bytes_accessed=int(dense_adj.nbytes) + n_et * n1 * n2 * 4,
+            transcendentals=n_et * n1 * n2,
         ),
-    )(seed_arr, q_flat, w.astype(jnp.float32)[:, None, :], zf.T, dense_adj,
-      zf)
+    )(seed_arr, q_flat, w3, zt, dense_adj, z1)
 
 
 def dense_bce_sum(w, z, dense_adj, q_int, key):
@@ -165,10 +215,11 @@ def dense_bce_sum(w, z, dense_adj, q_int, key):
 
 @jax.custom_vjp
 def _dense_bce(w, z, dense_adj, q_flat, seed_arr):
+    n_pad = -(-dense_adj.shape[0] // PAGES) * PAGES
     out = _call(
         _fwd_kernel,
-        jax.ShapeDtypeStruct((dense_adj.shape[0], 1, 1), jnp.float32),
-        pl.BlockSpec((1, 1, 1), lambda t, *sp: (t, 0, 0),
+        jax.ShapeDtypeStruct((n_pad, 1, 1), jnp.float32),
+        pl.BlockSpec((PAGES, 1, 1), lambda i, *sp: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         w, z, dense_adj, q_flat, seed_arr,
     )
@@ -186,24 +237,27 @@ def _bwd(res, g):
     import numpy as np
 
     w, z, dense_adj, q_flat, seed_arr = res
-    n_et, n, _ = dense_adj.shape
+    n_et = dense_adj.shape[0]
     d = z.shape[1]
+    n_pad = -(-n_et // PAGES) * PAGES
+    n1 = dense_adj.shape[1]
     dw, dz = _call(
         _bwd_kernel,
         (
-            jax.ShapeDtypeStruct((n_et, 1, d), jnp.float32),
-            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((n1, d), jnp.float32),
         ),
         (
-            pl.BlockSpec((1, 1, d), lambda t, *sp: (t, 0, 0),
+            pl.BlockSpec((PAGES, 1, d), lambda i, *sp: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, d), lambda t, *sp: (0, 0),
+            pl.BlockSpec((n1, d), lambda i, *sp: (0, 0),
                          memory_space=pltpu.VMEM),  # grid-accumulated
         ),
         w, z, dense_adj, q_flat, seed_arr,
     )
     f0 = jax.dtypes.float0
-    dw = dw[:, 0, :]
+    dw = dw[:n_et, 0, :]
+    dz = dz[: z.shape[0]]
     return (
         (g * dw).astype(w.dtype),
         (g * dz).astype(z.dtype),
@@ -226,9 +280,14 @@ def dense_bce_sum_xla(w, z, dense_adj, q_int, seed, block: int = 128):
     relations with rematerialization, mirroring
     nn/decoders.py:distmult_dense_pos_bce_sum.
     """
-    n_et, n, _ = dense_adj.shape
+    n_et, n1, n2 = dense_adj.shape  # may be tile-padded (pad_dense_adj)
+    nt = z.shape[0]
     block = min(block, n_et)
-    zc = z.astype(jnp.float32)
+    zc = jnp.pad(z, ((0, n1 - nt), (0, 0))).astype(jnp.float32)
+    zc2 = jnp.pad(z, ((0, n2 - nt), (0, 0))).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+    valid = (row < nt) & (col < nt)
     mixed_ok = (
         dense_adj.dtype == jnp.float32 or jax.default_backend() != "cpu"
     )
@@ -238,11 +297,11 @@ def dense_bce_sum_xla(w, z, dense_adj, q_int, seed, block: int = 128):
         zw = zc[None] * wb.astype(jnp.float32)[:, None, :]
         if mixed_ok:
             logits = jnp.einsum(
-                "tnf,mf->tnm", zw, zc, preferred_element_type=jnp.float32
+                "tnf,mf->tnm", zw, zc2, preferred_element_type=jnp.float32
             )
         else:
             logits = jnp.einsum(
-                "tnf,mf->tnm", zw.astype(jnp.float32), zc.astype(jnp.float32)
+                "tnf,mf->tnm", zw.astype(jnp.float32), zc2.astype(jnp.float32)
             )
         sp = jax.nn.softplus(-logits)
         u24 = jax.lax.shift_right_logical(
@@ -251,7 +310,7 @@ def dense_bce_sum_xla(w, z, dense_adj, q_int, seed, block: int = 128):
             7,
         )
         cnt = (u24[None] < qb.T[:, :, None, None]).astype(jnp.float32).sum(0)
-        cnt = jnp.where(da > 0, 0.0, cnt)
+        cnt = jnp.where((da > 0) | jnp.logical_not(valid), 0.0, cnt)
         val = sp * da + (sp + logits) * cnt
         return jnp.sum(val * fresh[:, None, None])
 

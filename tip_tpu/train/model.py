@@ -181,12 +181,17 @@ def make_graph_arrays(
             bitmap_byte_planes(data.dd_train_bitmap, data.n_et, data.n_drug)
         )
     if dense_dtype is not None:
-        from tip_tpu.data.packing import cast_dense_adj, dense_relation_adj
+        from tip_tpu.data.packing import (
+            cast_dense_adj, dense_relation_adj, pad_dense_adj,
+        )
 
         da = dense_relation_adj(data.dd_train, data.n_drug)
         # host-side exactness-checked cast so only the final compute-dtype
-        # tensor is ever transferred / resident on device
-        graph["dd_adj_t"] = jnp.asarray(cast_dense_adj(da, jnp.dtype(dense_dtype)))
+        # tensor is ever transferred / resident on device; zero-padded to
+        # HBM tile bounds for whole-tile Pallas page DMAs (pad_dense_adj)
+        graph["dd_adj_t"] = jnp.asarray(
+            pad_dense_adj(cast_dense_adj(da, jnp.dtype(dense_dtype)))
+        )
         # Binomial tail thresholds for the fused Poissonized-negative dense
         # BCE (ops/pallas_dense_bce.py); static per split.
         from tip_tpu.data.packing import poisson_neg_thresholds
