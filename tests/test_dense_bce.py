@@ -166,3 +166,36 @@ def test_model_loss_takes_fused_path_and_decreases(setup):
     p2 = model2.init(jax.random.key(0))
     l2 = float(jax.jit(model2.loss)(p2, graph, jax.random.key(1)))
     assert abs(l2 - loss0) < 0.05
+
+
+def test_kernel_padded_pages_match_oracle(setup):
+    """Tile-padded adjacency pages (pad_dense_adj): the kernel's valid-extent
+    mask must exclude pad cells from the negative draws and the padded
+    z/z^T from the logits — value and grads equal the unpadded oracle."""
+    from tip_tpu.data.packing import pad_dense_adj
+
+    data, da, w, z = setup
+    dap = jnp.asarray(pad_dense_adj(np.asarray(da)))
+    assert dap.shape[2] > da.shape[2]  # lanes padded 48 -> 128
+    per_rel = np.array([0, 1, 2, 3, 1, 2])[: data.n_et]
+    q_int = np.zeros((data.n_et, 3), np.int32)
+    for t, c in enumerate(per_rel):
+        q_int[t, :c] = 7
+    cnt = jnp.asarray(
+        (np.asarray(da) == 0) * per_rel[:, None, None].astype(np.float32)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        val, (dw, dz) = jax.value_and_grad(
+            lambda wz: dense_bce_sum(
+                wz[0], wz[1], dap, jnp.asarray(q_int), jax.random.key(3)
+            ),
+            argnums=0,
+        )((w, z))
+    ov, (odw, odz) = jax.value_and_grad(
+        lambda wz: _oracle(wz[0], wz[1], da, cnt), argnums=0
+    )((w, z))
+    np.testing.assert_allclose(float(val), float(ov), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(odw),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dz), np.asarray(odz),
+                               rtol=2e-4, atol=2e-4)
