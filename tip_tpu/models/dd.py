@@ -47,6 +47,10 @@ class DDConfig:
     nn_decoder_l1_dim: int = 16
     final_relu: bool = True  # reference: model/ddm-df_rgcn.py:59
     kernel_dtype: str = "float32"  # see ModelConfig.kernel_dtype
+    # 'auto' = fused Poissonized dense BCE when the dense fast path is
+    # active (ops/pallas_dense_bce.py), per-slot sampler otherwise — same
+    # semantics as ModelConfig.negatives
+    negatives: str = "auto"
 
 
 def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024,
@@ -77,6 +81,11 @@ def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024,
         da = dense_relation_adj(data.dd_train, data.n_drug)
         graph["dd_adj_t"] = jnp.asarray(
             pad_dense_adj(cast_dense_adj(da, jnp.dtype(dense_dtype)))
+        )
+        from tip_tpu.data.packing import poisson_neg_thresholds
+
+        graph["dd_neg_q"] = jnp.asarray(
+            poisson_neg_thresholds(data.dd_train, data.n_drug)
         )
     if data.drug_feat is not None:
         graph["drug_feat"] = jnp.asarray(data.drug_feat)
@@ -170,6 +179,26 @@ class DDModel:
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         z = self.encode(params, graph, axis_name=axis_name)
+        if (
+            graph.get("dd_adj_t") is not None
+            and self.cfg.decoder == "distmult"
+            and self.cfg.negatives in ("auto", "poisson")
+            and "dd_neg_q" in graph
+            and axis_name is None
+        ):
+            # Fused dense BCE (positives + in-kernel Poissonized negatives)
+            # — same fast path as TIP.loss (ops/pallas_dense_bce.py).
+            if self.backend == "pallas":
+                from tip_tpu.ops.pallas_dense_bce import dense_bce_sum as bce
+            else:
+                from tip_tpu.ops.pallas_dense_bce import (
+                    dense_bce_sum_xla as bce,
+                )
+            total = bce(
+                params["decoder"]["weight"], z, graph["dd_adj_t"],
+                graph["dd_neg_q"], key,
+            )
+            return total / float(gs.dd_n_valid)
         ns2d, nd2d = typed_negative_sampling_chunked(
             key, graph["dd_chunk_type"], graph["dd_bitmap"], gs.n_drug,
             gs.n_et, gs.dd_chunk, backend=self.backend,
