@@ -89,31 +89,46 @@ def _valid_mask(nt, n1, n2):
     return (row < nt) & (col < nt)
 
 
+# Depth of the manual DMA ring on hardware (strip probe: a 4-deep
+# make_async_copy pipeline streams the pages at 461 GB/s vs 353 for the
+# automatic grid pipeline and 195 for unaligned blocks —
+# runs/strip_probe_bce4.out).
+NBUF = 4
+
+
+def _common(nt, seed_ref, q_ref, t, w_row, z, zt, da_bf16, grads: bool):
+    """Per-page math shared by both drivers: logits, softplus/sigmoid,
+    in-kernel Poisson counts.  Returns (loss_page,) or (g,) cotangent."""
+    n1, n2 = da_bf16.shape
+    pltpu.prng_seed(seed_ref[0], t)
+    da = da_bf16.astype(jnp.float32)
+    logits = jnp.dot(z * w_row, zt, preferred_element_type=jnp.float32)
+    u24 = jax.lax.shift_right_logical(
+        pltpu.bitcast(pltpu.prng_random_bits((n1, n2)), jnp.int32), 8
+    )
+    cnt = _counts(u24, q_ref, t, da, _valid_mask(nt, n1, n2))
+    if not grads:
+        sp = jax.nn.softplus(-logits)
+        return jnp.sum(sp * da + (sp + logits) * cnt)
+    sg = jax.nn.sigmoid(-logits)
+    return cnt - sg * (da + cnt)
+
+
 def _fwd_kernel(nt, n_et, seed_ref, q_ref, w_ref, zt_ref, da_ref, z_ref,
                 out_ref):
     i = pl.program_id(0)
     z = z_ref[...]  # [n1, d] f32 (rows >= nt zero)
     zt = zt_ref[...]
-    n1, n2 = da_ref.shape[1:]
-    valid = _valid_mask(nt, n1, n2)
     for p in range(PAGES):
         t = i * PAGES + p
         out_ref[p, 0, 0] = 0.0  # pad pages of the last block stay zero
 
         @pl.when(t < n_et)
         def _():
-            pltpu.prng_seed(seed_ref[0], t)
-            da = da_ref[p].astype(jnp.float32)  # [n1, n2]
-            logits = jnp.dot(
-                z * w_ref[p], zt, preferred_element_type=jnp.float32
-            )  # [n1, n2]
-            sp = jax.nn.softplus(-logits)
-            u24 = jax.lax.shift_right_logical(
-                pltpu.bitcast(pltpu.prng_random_bits((n1, n2)), jnp.int32), 8
+            out_ref[p, 0, 0] = _common(
+                nt, seed_ref, q_ref, t, w_ref[p], z, zt, da_ref[p],
+                grads=False,
             )
-            cnt = _counts(u24, q_ref, t, da, valid)
-            # softplus(L) = softplus(-L) + L: one transcendental, both halves
-            out_ref[p, 0, 0] = jnp.sum(sp * da + (sp + logits) * cnt)
 
 
 def _bwd_kernel(nt, n_et, seed_ref, q_ref, w_ref, zt_ref, da_ref, z_ref,
@@ -121,8 +136,6 @@ def _bwd_kernel(nt, n_et, seed_ref, q_ref, w_ref, zt_ref, da_ref, z_ref,
     i = pl.program_id(0)
     z = z_ref[...]
     zt = zt_ref[...]
-    n1, n2 = da_ref.shape[1:]
-    valid = _valid_mask(nt, n1, n2)
 
     @pl.when(i == 0)
     def _():
@@ -133,22 +146,13 @@ def _bwd_kernel(nt, n_et, seed_ref, q_ref, w_ref, zt_ref, da_ref, z_ref,
 
         @pl.when(t < n_et)
         def _():
-            pltpu.prng_seed(seed_ref[0], t)  # identical stream to the fwd
-            da = da_ref[p].astype(jnp.float32)
-            logits = jnp.dot(
-                z * w_ref[p], zt, preferred_element_type=jnp.float32
-            )
-            sg = jax.nn.sigmoid(-logits)
-            u24 = jax.lax.shift_right_logical(
-                pltpu.bitcast(pltpu.prng_random_bits((n1, n2)), jnp.int32), 8
-            )
-            cnt = _counts(u24, q_ref, t, da, valid)
-            # dLoss/dlogits = -DA * sg + C * sigmoid(L), sigmoid(L) = 1 - sg
-            g = cnt - sg * (da + cnt)  # [n1, n2]
-            # H[i,f] = sum_j G[i,j] z[j,f]: contract the SOURCE axis against
-            # z^T's lane axis (no transpose materialized); Ht[j,f] likewise
-            # contracts the DEST axis against the [n1, d] z copy.  Rows
-            # beyond the true extent are zero (g vanishes there).
+            # dLoss/dlogits = -DA*sg + C*(1-sg) from the reseeded counts;
+            # H[i,f] = sum_j G[i,j] z[j,f] contracts the SOURCE axis
+            # against z^T's lane axis (no transpose materialized), Ht
+            # likewise contracts the DEST axis against the [n1, d] z copy.
+            # Rows beyond the true extent are zero (g vanishes there).
+            g = _common(nt, seed_ref, q_ref, t, w_ref[p], z, zt, da_ref[p],
+                        grads=True)
             h = jax.lax.dot_general(  # [n1, d]
                 g, zt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -159,6 +163,82 @@ def _bwd_kernel(nt, n_et, seed_ref, q_ref, w_ref, zt_ref, da_ref, z_ref,
             )
             dw_ref[p, 0] = jnp.sum(z * h, axis=0)
             dz_ref[...] += w_ref[p] * (h + ht[: h.shape[0]])
+
+
+def _fwd_manual_kernel(nt, n_et, seed_ref, q_ref, w_ref, zt_ref, da_hbm,
+                       z_ref, out_ref):
+    z = z_ref[...]
+    zt = zt_ref[...]
+
+    def body(scratch, sems):
+        def dma(slot, page):
+            return pltpu.make_async_copy(
+                da_hbm.at[page], scratch.at[slot], sems.at[slot]
+            )
+
+        for p in range(NBUF - 1):
+            dma(p, p).start()
+
+        def loop(t, acc):
+            nxt = t + NBUF - 1
+
+            @pl.when(nxt < n_et)
+            def _():
+                dma(nxt % NBUF, nxt).start()
+
+            dma(t % NBUF, t).wait()
+            return acc + _common(
+                nt, seed_ref, q_ref, t, w_ref[pl.ds(t, 1), 0, :], z, zt,
+                scratch[t % NBUF], grads=False,
+            )
+
+        out_ref[0, 0] = jax.lax.fori_loop(0, n_et, loop, jnp.float32(0))
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((NBUF,) + da_hbm.shape[1:], da_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((NBUF,)),
+    )
+
+
+def _call_manual(kernel, out_shape, out_specs, w, z, dense_adj, q_flat,
+                 seed_arr):
+    n_et, n1, n2 = dense_adj.shape
+    nt, d = z.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((n_et, 1, d), lambda i, *sp: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # all w rows resident
+            pl.BlockSpec((d, n2), lambda i, *sp: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # adjacency stays in HBM
+            pl.BlockSpec((n1, d), lambda i, *sp: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+    )
+    zf = z.astype(jnp.float32)
+    z1 = jnp.pad(zf, ((0, n1 - nt), (0, 0)))
+    zt = jnp.pad(zf, ((0, n2 - nt), (0, 0))).T
+    return pl.pallas_call(
+        functools.partial(kernel, nt, n_et),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_et * n1 * n2 * (3 * d),
+            bytes_accessed=int(dense_adj.nbytes) + n_et * n1 * n2 * 4,
+            transcendentals=n_et * n1 * n2,
+        ),
+    )(seed_arr, q_flat, w.astype(jnp.float32)[:, None, :], zt, dense_adj, z1)
+
+
+def _use_manual() -> bool:
+    # The manual DMA ring needs real hardware semantics; the automatic
+    # grid pipeline serves interpret mode / CPU tests.
+    return jax.default_backend() == "tpu"
 
 
 def _call(kernel, out_shape, out_specs, w, z, dense_adj, q_flat, seed_arr):
@@ -215,6 +295,15 @@ def dense_bce_sum(w, z, dense_adj, q_int, key):
 
 @jax.custom_vjp
 def _dense_bce(w, z, dense_adj, q_flat, seed_arr):
+    if _use_manual():
+        out = _call_manual(
+            _fwd_manual_kernel,
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            pl.BlockSpec((1, 1), lambda i, *sp: (0, 0),
+                         memory_space=pltpu.SMEM),
+            w, z, dense_adj, q_flat, seed_arr,
+        )
+        return out[0, 0]
     n_pad = -(-dense_adj.shape[0] // PAGES) * PAGES
     out = _call(
         _fwd_kernel,
@@ -239,8 +328,13 @@ def _bwd(res, g):
     w, z, dense_adj, q_flat, seed_arr = res
     n_et = dense_adj.shape[0]
     d = z.shape[1]
-    n_pad = -(-n_et // PAGES) * PAGES
     n1 = dense_adj.shape[1]
+    # The backward keeps the AUTOMATIC grid pipeline on all backends: its
+    # three per-page MXU dots overlap the next page's DMA there, while a
+    # manual sequential ring measured SLOWER for the backward (3.8 -> 4.7
+    # ms; the manual ring only wins on the DMA-dominated forward, 4.2 ->
+    # 3.2 ms — runs/probe_dense_bce_manual.out).
+    n_pad = -(-n_et // PAGES) * PAGES
     dw, dz = _call(
         _bwd_kernel,
         (
@@ -255,8 +349,8 @@ def _bwd(res, g):
         ),
         w, z, dense_adj, q_flat, seed_arr,
     )
-    f0 = jax.dtypes.float0
     dw = dw[:n_et, 0, :]
+    f0 = jax.dtypes.float0
     dz = dz[: z.shape[0]]
     return (
         (g * dw).astype(w.dtype),
