@@ -199,3 +199,98 @@ def test_kernel_padded_pages_match_oracle(setup):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dz), np.asarray(odz),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_nn_kernel_value_and_grads_match_oracle(setup):
+    """NN-decoder fused BCE (ops/pallas_dense_bce_nn.py): outer-sum logits,
+    deterministic interpret counts, value + all four grads vs the oracle
+    (padded pages included)."""
+    from tip_tpu.data.packing import pad_dense_adj
+    from tip_tpu.ops.pallas_dense_bce_nn import (
+        dense_bce_nn_sum, dense_bce_nn_sum_xla,
+    )
+
+    data, da, _, _ = setup
+    dap = jnp.asarray(pad_dense_adj(np.asarray(da)))
+    l1 = 8
+    ks = jax.random.split(jax.random.key(5), 4)
+    w1 = jax.random.normal(ks[0], (data.n_et, l1)) * 0.4
+    w2 = jax.random.normal(ks[1], (data.n_et, l1)) * 0.4
+    h1 = jax.nn.relu(jax.random.normal(ks[2], (data.n_drug, l1)))
+    h2 = jax.nn.relu(jax.random.normal(ks[3], (data.n_drug, l1)))
+    per_rel = np.array([0, 1, 2, 3, 1, 2])[: data.n_et]
+    q_int = np.zeros((data.n_et, 3), np.int32)
+    for t, c in enumerate(per_rel):
+        q_int[t, :c] = 7
+    cnt = jnp.asarray(
+        (np.asarray(da) == 0) * per_rel[:, None, None].astype(np.float32)
+    )
+
+    def oracle(args):
+        w1_, w2_, h1_, h2_ = args
+        logits = (h2_ @ w2_.T).T[:, :, None] + (h1_ @ w1_.T).T[:, None, :]
+        return jnp.sum(
+            jax.nn.softplus(-logits) * da + jax.nn.softplus(logits) * cnt
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        val, grads = jax.value_and_grad(
+            lambda a: dense_bce_nn_sum(
+                a[0], a[1], a[2], a[3], dap, jnp.asarray(q_int),
+                jax.random.key(3),
+            )
+        )((w1, w2, h1, h2))
+    ov, ograds = jax.value_and_grad(oracle)((w1, w2, h1, h2))
+    np.testing.assert_allclose(float(val), float(ov), rtol=2e-5)
+    for a, b in zip(grads, ograds):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+    # XLA fallback: same expectation (statistical, as the DistMult test)
+    q_real = poisson_neg_thresholds(data.dd_train, data.n_drug)
+    vals = np.array([
+        float(dense_bce_nn_sum_xla(w1, w2, h1, h2, dap,
+                                   jnp.asarray(q_real), jax.random.key(s)))
+        for s in range(48)
+    ])
+    logits = np.asarray(
+        (h2 @ w2.T).T[:, :, None] + (h1 @ w1.T).T[:, None, :]
+    )
+    danp = np.asarray(da)
+    m = np.bincount(data.dd_train.edge_type, minlength=data.n_et)
+    sp_pos = float(np.sum(np.log1p(np.exp(-logits)) * danp))
+    spl = np.log1p(np.exp(logits))
+    exp_neg = float(sum(
+        m[t] * spl[t][danp[t] == 0].mean() for t in range(data.n_et)
+    ))
+    se = vals.std() / np.sqrt(len(vals))
+    assert abs(vals.mean() - (sp_pos + exp_neg)) < 5 * se + 1e-3
+
+
+def test_dd_nn_model_fused_path_trains(setup):
+    """DR-NN end to end on the fused NN dense BCE (XLA fallback, CPU)."""
+    import optax
+
+    from tip_tpu.models.dd import DDConfig, DDModel, make_dd_graph_arrays
+
+    data = setup[0]
+    graph, gs = make_dd_graph_arrays(data, chunk=64, dense_dtype="float32")
+    cfg = DDConfig(decoder="nn", negatives="poisson", n_embed=8, n_hid1=8,
+                   n_hid2=8, num_base=4)
+    model = DDModel.for_data(cfg, gs, backend="xla")
+    params = model.init(jax.random.key(0))
+    loss0 = float(jax.jit(model.loss)(params, graph, jax.random.key(1)))
+    assert abs(loss0 - 2 * np.log(2)) < 0.35  # NN decoder init is wider
+    opt = optax.adam(0.01)
+    ost = opt.init(params)
+
+    @jax.jit
+    def step(p, o, k):
+        l, g = jax.value_and_grad(lambda q: model.loss(q, graph, k))(p)
+        u, o = opt.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    losses = []
+    for i in range(8):
+        params, ost, l = step(params, ost, jax.random.key(20 + i))
+        losses.append(float(l))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]

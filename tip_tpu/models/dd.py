@@ -181,23 +181,42 @@ class DDModel:
         z = self.encode(params, graph, axis_name=axis_name)
         if (
             graph.get("dd_adj_t") is not None
-            and self.cfg.decoder == "distmult"
             and self.cfg.negatives in ("auto", "poisson")
             and "dd_neg_q" in graph
             and axis_name is None
         ):
             # Fused dense BCE (positives + in-kernel Poissonized negatives)
-            # — same fast path as TIP.loss (ops/pallas_dense_bce.py).
-            if self.backend == "pallas":
-                from tip_tpu.ops.pallas_dense_bce import dense_bce_sum as bce
-            else:
-                from tip_tpu.ops.pallas_dense_bce import (
-                    dense_bce_sum_xla as bce,
+            # — same fast path as TIP.loss; the NN decoder's dense logits
+            # are an outer SUM per relation (ops/pallas_dense_bce_nn.py).
+            dec = params["decoder"]
+            if self.cfg.decoder == "distmult":
+                if self.backend == "pallas":
+                    from tip_tpu.ops.pallas_dense_bce import (
+                        dense_bce_sum as bce,
+                    )
+                else:
+                    from tip_tpu.ops.pallas_dense_bce import (
+                        dense_bce_sum_xla as bce,
+                    )
+                total = bce(
+                    dec["weight"], z, graph["dd_adj_t"],
+                    graph["dd_neg_q"], key,
                 )
-            total = bce(
-                params["decoder"]["weight"], z, graph["dd_adj_t"],
-                graph["dd_neg_q"], key,
-            )
+            else:
+                if self.backend == "pallas":
+                    from tip_tpu.ops.pallas_dense_bce_nn import (
+                        dense_bce_nn_sum as bce_nn,
+                    )
+                else:
+                    from tip_tpu.ops.pallas_dense_bce_nn import (
+                        dense_bce_nn_sum_xla as bce_nn,
+                    )
+                h1 = jax.nn.relu(z @ dec["w1_l1"])
+                h2 = jax.nn.relu(z @ dec["w2_l1"])
+                total = bce_nn(
+                    dec["w1_l2"], dec["w2_l2"], h1, h2, graph["dd_adj_t"],
+                    graph["dd_neg_q"], key,
+                )
             return total / float(gs.dd_n_valid)
         ns2d, nd2d = typed_negative_sampling_chunked(
             key, graph["dd_chunk_type"], graph["dd_bitmap"], gs.n_drug,

@@ -1,0 +1,295 @@
+"""Fused dense BCE for the NN decoder (DR-NN family).
+
+Same estimator and page pipeline as the DistMult kernel
+(ops/pallas_dense_bce.py): per relation t the dense logit tile feeds both
+BCE halves — positives weighted by the adjacency page, negatives by an
+in-kernel Poissonized count field.  The NN decoder's logit
+(reference: src/layers.py:620-631)
+
+    logit(src, dst, t) = h1[src] . w1_l2[t]  +  h2[dst] . w2_l2[t]
+
+is an OUTER SUM over the dense (dst, src) tile:
+
+    L_t = (h2 @ w2_l2[t]^T)  (+)  (w1_l2[t] @ h1^T)
+          [n1, 1] column          [1, n2] row
+
+— no per-tile GEMM at all, two matvecs per page.  All backward
+contractions are expressed as MXU dots with no in-kernel transposes
+(the sampler's Mosaic layout lesson):
+
+    dw2[t] = 1_{1,n2} (G^T h2)        dh2 += (G 1_{n2,1}) w2[t]
+    dw1[t] = 1_{1,n1} (G h1)          dh1 += G^T (1_{n1,1} w1[t])
+
+with G = dLoss/dL = -DA sg + C (1 - sg), sg = sigmoid(-L).  Grads flow to
+(w1_l2, w2_l2, h1, h2); the h1/h2 chains to z and the shared L1 weights
+continue in XLA (they are [n, l1]-sized).
+
+The tiny l1 = 16 operands ride the same per-page [R, 1, l1] block layout
+as the DistMult kernel's w rows; h1^T/h2 stay VMEM-resident.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tip_tpu.ops.pallas_dense_bce import PAGES, _counts, _valid_mask
+
+
+def _page_logits(w1_ref, w2_ref, p, h1t, h2):
+    s1 = jnp.dot(w1_ref[p], h1t, preferred_element_type=jnp.float32)  # [1,n2]
+    s2 = jax.lax.dot_general(  # [n1, 1]: contract the l1 axes, no transpose
+        h2, w2_ref[p], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return s2 + s1  # outer sum -> [n1, n2]
+
+
+def _fwd_kernel(nt, n_et, seed_ref, q_ref, w1_ref, w2_ref, h1t_ref, h2_ref,
+                da_ref, out_ref):
+    i = pl.program_id(0)
+    h1t = h1t_ref[...]  # [l1, n2]
+    h2 = h2_ref[...]  # [n1, l1]
+    n1, n2 = da_ref.shape[1:]
+    valid = _valid_mask(nt, n1, n2)
+    for p in range(PAGES):
+        t = i * PAGES + p
+        out_ref[p, 0, 0] = 0.0
+
+        @pl.when(t < n_et)
+        def _():
+            pltpu.prng_seed(seed_ref[0], t)
+            da = da_ref[p].astype(jnp.float32)
+            logits = _page_logits(w1_ref, w2_ref, p, h1t, h2)
+            sp = jax.nn.softplus(-logits)
+            u24 = jax.lax.shift_right_logical(
+                pltpu.bitcast(pltpu.prng_random_bits((n1, n2)), jnp.int32), 8
+            )
+            cnt = _counts(u24, q_ref, t, da, valid)
+            out_ref[p, 0, 0] = jnp.sum(sp * da + (sp + logits) * cnt)
+
+
+def _bwd_kernel(nt, n_et, seed_ref, q_ref, w1_ref, w2_ref, h1t_ref, h2_ref,
+                da_ref, dw1_ref, dw2_ref, dh1_ref, dh2_ref):
+    i = pl.program_id(0)
+    h1t = h1t_ref[...]
+    h2 = h2_ref[...]
+    n1, n2 = da_ref.shape[1:]
+    l1 = h2.shape[1]
+    valid = _valid_mask(nt, n1, n2)
+
+    @pl.when(i == 0)
+    def _():
+        dh1_ref[...] = jnp.zeros_like(dh1_ref)
+        dh2_ref[...] = jnp.zeros_like(dh2_ref)
+
+    ones_n1 = jnp.ones((1, n1), jnp.float32)
+    ones_n2 = jnp.ones((1, n2), jnp.float32)
+    for p in range(PAGES):
+        t = i * PAGES + p
+
+        @pl.when(t < n_et)
+        def _():
+            pltpu.prng_seed(seed_ref[0], t)
+            da = da_ref[p].astype(jnp.float32)
+            logits = _page_logits(w1_ref, w2_ref, p, h1t, h2)
+            sg = jax.nn.sigmoid(-logits)
+            u24 = jax.lax.shift_right_logical(
+                pltpu.bitcast(pltpu.prng_random_bits((n1, n2)), jnp.int32), 8
+            )
+            cnt = _counts(u24, q_ref, t, da, valid)
+            g = cnt - sg * (da + cnt)  # [n1, n2]
+            gth2 = jax.lax.dot_general(  # G^T h2: [n2, l1]
+                g, h2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dw2_ref[p, 0] = jnp.dot(
+                ones_n2, gth2, preferred_element_type=jnp.float32
+            )[0]
+            gh1 = jax.lax.dot_general(  # G h1 = G (h1t)^T: [n1, l1]
+                g, h1t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dw1_ref[p, 0] = jnp.dot(
+                ones_n1, gh1, preferred_element_type=jnp.float32
+            )[0]
+            rowsum = jnp.dot(  # G 1: [n1, 1]
+                g, jnp.ones((n2, 1), jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            dh2_ref[...] += jnp.dot(
+                rowsum, w2_ref[p], preferred_element_type=jnp.float32
+            )
+            w1b = jnp.broadcast_to(w1_ref[p], (n1, l1))
+            dh1_ref[...] += jax.lax.dot_general(  # G^T w1bcast: [n2, l1]
+                g, w1b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+def _call(kernel, out_shape, out_specs, w1, w2, h1, h2, dense_adj, q_flat,
+          seed_arr):
+    n_et, n1, n2 = dense_adj.shape
+    nt, l1 = h1.shape
+    n_blk = -(-n_et // PAGES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((PAGES, 1, l1), lambda i, *sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # w1_l2 rows
+            pl.BlockSpec((PAGES, 1, l1), lambda i, *sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # w2_l2 rows
+            pl.BlockSpec((l1, n2), lambda i, *sp: (0, 0),
+                         memory_space=pltpu.VMEM),  # h1^T (resident)
+            pl.BlockSpec((n1, l1), lambda i, *sp: (0, 0),
+                         memory_space=pltpu.VMEM),  # h2 (resident)
+            pl.BlockSpec((PAGES, n1, n2), lambda i, *sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # adjacency pages
+        ],
+        out_specs=out_specs,
+    )
+    pad = n_blk * PAGES - n_et
+    w1p = jnp.pad(w1.astype(jnp.float32)[:, None, :],
+                  ((0, pad), (0, 0), (0, 0)))
+    w2p = jnp.pad(w2.astype(jnp.float32)[:, None, :],
+                  ((0, pad), (0, 0), (0, 0)))
+    h1t = jnp.pad(h1.astype(jnp.float32), ((0, n2 - nt), (0, 0))).T
+    h2p = jnp.pad(h2.astype(jnp.float32), ((0, n1 - nt), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(kernel, nt, n_et),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_et * n1 * n2 * 4,
+            bytes_accessed=int(dense_adj.nbytes) + n_et * n1 * n2 * 4,
+            transcendentals=n_et * n1 * n2,
+        ),
+    )(seed_arr, q_flat, w1p, w2p, h1t, h2p, dense_adj)
+
+
+def dense_bce_nn_sum(w1_l2, w2_l2, h1, h2, dense_adj, q_int, key):
+    """Scalar BCE sum for the NN decoder: positives + Poissonized negatives.
+
+    w1_l2/w2_l2: [n_et, l1] per-relation L2 rows; h1/h2: [n, l1]
+    post-ReLU endpoint hiddens; dense_adj: [n_et, n1, n2] (tile-padded)
+    counts; q_int: [n_et, 3] thresholds; key: jax PRNG key.
+    """
+    seed_arr = jax.lax.bitcast_convert_type(
+        jax.random.bits(key, (1,), jnp.uint32), jnp.int32
+    )
+    return _dense_nn(w1_l2, w2_l2, h1, h2, dense_adj, q_int.reshape(-1),
+                     seed_arr)
+
+
+@jax.custom_vjp
+def _dense_nn(w1, w2, h1, h2, dense_adj, q_flat, seed_arr):
+    n_pad = -(-dense_adj.shape[0] // PAGES) * PAGES
+    out = _call(
+        _fwd_kernel,
+        jax.ShapeDtypeStruct((n_pad, 1, 1), jnp.float32),
+        pl.BlockSpec((PAGES, 1, 1), lambda i, *sp: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        w1, w2, h1, h2, dense_adj, q_flat, seed_arr,
+    )
+    return jnp.sum(out)
+
+
+def _fwd(w1, w2, h1, h2, dense_adj, q_flat, seed_arr):
+    return (
+        _dense_nn(w1, w2, h1, h2, dense_adj, q_flat, seed_arr),
+        (w1, w2, h1, h2, dense_adj, q_flat, seed_arr),
+    )
+
+
+def _bwd(res, g):
+    import numpy as np
+
+    w1, w2, h1, h2, dense_adj, q_flat, seed_arr = res
+    n_et, n1, n2 = dense_adj.shape
+    nt, l1 = h1.shape
+    n_pad = -(-n_et // PAGES) * PAGES
+    dw1, dw2, dh1, dh2 = _call(
+        _bwd_kernel,
+        (
+            jax.ShapeDtypeStruct((n_pad, 1, l1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1, l1), jnp.float32),
+            jax.ShapeDtypeStruct((n2, l1), jnp.float32),
+            jax.ShapeDtypeStruct((n1, l1), jnp.float32),
+        ),
+        (
+            pl.BlockSpec((PAGES, 1, l1), lambda i, *sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PAGES, 1, l1), lambda i, *sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, l1), lambda i, *sp: (0, 0),
+                         memory_space=pltpu.VMEM),  # grid-accumulated
+            pl.BlockSpec((n1, l1), lambda i, *sp: (0, 0),
+                         memory_space=pltpu.VMEM),  # grid-accumulated
+        ),
+        w1, w2, h1, h2, dense_adj, q_flat, seed_arr,
+    )
+    f0 = jax.dtypes.float0
+    return (
+        (g * dw1[:n_et, 0, :]).astype(w1.dtype),
+        (g * dw2[:n_et, 0, :]).astype(w2.dtype),
+        (g * dh1[:nt]).astype(h1.dtype),
+        (g * dh2[:nt]).astype(h2.dtype),
+        jnp.zeros_like(dense_adj),
+        np.zeros(q_flat.shape, f0),
+        np.zeros(seed_arr.shape, f0),
+    )
+
+
+_dense_nn.defvjp(_fwd, _bwd)
+
+
+def dense_bce_nn_sum_xla(w1_l2, w2_l2, h1, h2, dense_adj, q_int, key,
+                         block: int = 128):
+    """XLA fallback of the same estimator (CPU path / oracle)."""
+    n_et, n1, n2 = dense_adj.shape
+    nt = h1.shape[0]
+    block = min(block, n_et)
+    s1 = jnp.pad(  # [n2, R] source-endpoint scores
+        jax.numpy.asarray(h1, jnp.float32) @ w1_l2.T.astype(jnp.float32),
+        ((0, n2 - nt), (0, 0)),
+    )
+    s2 = jnp.pad(  # [n1, R] dest-endpoint scores
+        jax.numpy.asarray(h2, jnp.float32) @ w2_l2.T.astype(jnp.float32),
+        ((0, n1 - nt), (0, 0)),
+    )
+    row = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+    valid = (row < nt) & (col < nt)
+
+    def block_sum(s1b, s2b, da, qb, key, fresh):
+        da = da.astype(jnp.float32)
+        logits = s2b.T[:, :, None] + s1b.T[:, None, :]  # [B, n1, n2]
+        sp = jax.nn.softplus(-logits)
+        u24 = jax.lax.shift_right_logical(
+            jax.random.bits(key, logits.shape, jnp.uint32).astype(jnp.int32)
+            & jnp.int32(0x7FFFFFFF),
+            7,
+        )
+        cnt = (u24[None] < qb.T[:, :, None, None]).astype(jnp.float32).sum(0)
+        cnt = jnp.where((da > 0) | jnp.logical_not(valid), 0.0, cnt)
+        return jnp.sum((sp * da + (sp + logits) * cnt)
+                       * fresh[:, None, None])
+
+    block_sum = jax.checkpoint(block_sum)
+    total = jnp.zeros((), jnp.float32)
+    for i in range(-(-n_et // block)):
+        start = min(i * block, n_et - block)
+        fresh = jnp.asarray(
+            (start + jnp.arange(block)) >= i * block, jnp.float32
+        )
+        total = total + block_sum(
+            s1[:, start:start + block], s2[:, start:start + block],
+            dense_adj[start:start + block], q_int[start:start + block],
+            jax.random.fold_in(key, i), fresh,
+        )
+    return total
