@@ -145,6 +145,17 @@ class DDModel:
         if "d_norm" in graph:
             x = x / graph["d_norm"][:, None]
         dense_adj = graph.get("dd_adj_t")
+        if dense_adj is not None and axis_name is None:
+            # Both layers over ONE adjacency stream (M-first reassociation,
+            # nn/rgcn.py:dense_rgcn_pair_apply — same fast path as the TIP
+            # encoder).
+            from tip_tpu.nn.rgcn import dense_rgcn_pair_apply
+
+            x = dense_rgcn_pair_apply(
+                params["rgcn1"], params["rgcn2"], x, dense_adj,
+                graph["dd_deg"],
+            )
+            return jax.nn.relu(x) if self.cfg.final_relu else x
         x = rgcn_apply_padded(
             params["rgcn1"], x, *dd, gs.n_drug, gs.n_et,
             backend=self.backend, axis_name=axis_name,
