@@ -139,17 +139,14 @@ decg = jax.jit(lambda p, z, a: jax.value_and_grad(lambda zz: jnp.sum(
                        sigmoid=False)))(z + a * 0)[0] * 1e-9)
 report("neg SDDMM fwd+bwd", slope(lambda i, a: decg(params, z0, a)))
 
-# P-P dense encoder piece
-from tip_tpu.nn.gcn import gcn_conv_apply_dense
+# P-P dense encoder piece (params are nested conv1/conv2 dicts; big
+# buffers are jit ARGS — closure constants trip the tunnel's 413 limit)
+from tip_tpu.nn.encoders import pp_encoder_apply_dense
 wp = params["encoder"]["pp"]
-ppf = jax.jit(lambda p, g, a: jnp.sum(gcn_conv_apply_dense(
-    jax.nn.relu(gcn_conv_apply_dense(p["w1"] + a * 0, g["pp_a1"], g["pp_dinv"],
-                                     bias=p.get("b1"))) @ p["w2"],
-    g["pp_a1"], g["pp_dinv"], bias=p.get("b2"))))
-try:
-    report("pp dense 2-layer fwd", slope(lambda i, a: ppf(wp, graph, a)))
-except Exception as e:
-    print("pp probe failed:", e)
+ppf = jax.jit(lambda p, a1, di, a: jnp.sum(pp_encoder_apply_dense(
+    jax.tree.map(lambda x: x + a * 0, p), None, a1, di)))
+report("pp dense 2-layer fwd", slope(
+    lambda i, a: ppf(wp, graph["pp_a1"], graph["pp_dinv"], a)))
 
 # dense rgcn layer1 fwd as shipped (pt einsum path)
 from tip_tpu.nn.rgcn import rgcn_apply_padded
