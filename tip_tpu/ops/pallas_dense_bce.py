@@ -290,11 +290,29 @@ def dense_bce_sum(w, z, dense_adj, q_int, key):
     seed_arr = jax.lax.bitcast_convert_type(
         jax.random.bits(key, (1,), jnp.uint32), jnp.int32
     )
-    return _dense_bce(w, z, dense_adj, q_int.reshape(-1), seed_arr)
+    q_flat = q_int.reshape(-1)
+
+    # The adjacency / thresholds / seed are graph DATA, not differentiable
+    # parameters: close over them so the custom_vjp signature never carries
+    # them and no cotangent (913 MB of zeros at Decagon scale) is ever
+    # constructed — correctness no longer leans on XLA DCE (advisor r4).
+    @jax.custom_vjp
+    def f(w, z):
+        return _dense_bce_primal(w, z, dense_adj, q_flat, seed_arr)
+
+    def fwd(w, z):
+        return f(w, z), (w, z)
+
+    def bwd(res, g):
+        w, z = res
+        dw, dz = _dense_bce_grads(w, z, dense_adj, q_flat, seed_arr)
+        return (g * dw).astype(w.dtype), (g * dz).astype(z.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f(w, z)
 
 
-@jax.custom_vjp
-def _dense_bce(w, z, dense_adj, q_flat, seed_arr):
+def _dense_bce_primal(w, z, dense_adj, q_flat, seed_arr):
     if _use_manual():
         out = _call_manual(
             _fwd_manual_kernel,
@@ -315,17 +333,7 @@ def _dense_bce(w, z, dense_adj, q_flat, seed_arr):
     return jnp.sum(out)
 
 
-def _fwd(w, z, dense_adj, q_flat, seed_arr):
-    return (
-        _dense_bce(w, z, dense_adj, q_flat, seed_arr),
-        (w, z, dense_adj, q_flat, seed_arr),
-    )
-
-
-def _bwd(res, g):
-    import numpy as np
-
-    w, z, dense_adj, q_flat, seed_arr = res
+def _dense_bce_grads(w, z, dense_adj, q_flat, seed_arr):
     n_et = dense_adj.shape[0]
     d = z.shape[1]
     n1 = dense_adj.shape[1]
@@ -349,19 +357,7 @@ def _bwd(res, g):
         ),
         w, z, dense_adj, q_flat, seed_arr,
     )
-    dw = dw[:n_et, 0, :]
-    f0 = jax.dtypes.float0
-    dz = dz[: z.shape[0]]
-    return (
-        (g * dw).astype(w.dtype),
-        (g * dz).astype(z.dtype),
-        jnp.zeros_like(dense_adj),  # graph data: cotangent unused, DCE'd
-        np.zeros(q_flat.shape, f0),
-        np.zeros(seed_arr.shape, f0),
-    )
-
-
-_dense_bce.defvjp(_fwd, _bwd)
+    return dw[:n_et, 0, :], dz[: z.shape[0]]
 
 
 def dense_bce_sum_xla(w, z, dense_adj, q_int, seed, block: int = 128):

@@ -182,12 +182,26 @@ def dense_bce_nn_sum(w1_l2, w2_l2, h1, h2, dense_adj, q_int, key):
     seed_arr = jax.lax.bitcast_convert_type(
         jax.random.bits(key, (1,), jnp.uint32), jnp.int32
     )
-    return _dense_nn(w1_l2, w2_l2, h1, h2, dense_adj, q_int.reshape(-1),
-                     seed_arr)
+    q_flat = q_int.reshape(-1)
+
+    # Adjacency / thresholds / seed are graph data: closed over so the
+    # custom_vjp never constructs a full-size zero cotangent for them
+    # (same restructuring as pallas_dense_bce.dense_bce_sum; advisor r4).
+    @jax.custom_vjp
+    def f(w1, w2, h1, h2):
+        return _dense_nn_primal(w1, w2, h1, h2, dense_adj, q_flat, seed_arr)
+
+    def fwd(w1, w2, h1, h2):
+        return f(w1, w2, h1, h2), (w1, w2, h1, h2)
+
+    def bwd(res, g):
+        return _dense_nn_grads(*res, dense_adj, q_flat, seed_arr, g=g)
+
+    f.defvjp(fwd, bwd)
+    return f(w1_l2, w2_l2, h1, h2)
 
 
-@jax.custom_vjp
-def _dense_nn(w1, w2, h1, h2, dense_adj, q_flat, seed_arr):
+def _dense_nn_primal(w1, w2, h1, h2, dense_adj, q_flat, seed_arr):
     n_pad = -(-dense_adj.shape[0] // PAGES) * PAGES
     out = _call(
         _fwd_kernel,
@@ -199,17 +213,7 @@ def _dense_nn(w1, w2, h1, h2, dense_adj, q_flat, seed_arr):
     return jnp.sum(out)
 
 
-def _fwd(w1, w2, h1, h2, dense_adj, q_flat, seed_arr):
-    return (
-        _dense_nn(w1, w2, h1, h2, dense_adj, q_flat, seed_arr),
-        (w1, w2, h1, h2, dense_adj, q_flat, seed_arr),
-    )
-
-
-def _bwd(res, g):
-    import numpy as np
-
-    w1, w2, h1, h2, dense_adj, q_flat, seed_arr = res
+def _dense_nn_grads(w1, w2, h1, h2, dense_adj, q_flat, seed_arr, g):
     n_et, n1, n2 = dense_adj.shape
     nt, l1 = h1.shape
     n_pad = -(-n_et // PAGES) * PAGES
@@ -233,19 +237,12 @@ def _bwd(res, g):
         ),
         w1, w2, h1, h2, dense_adj, q_flat, seed_arr,
     )
-    f0 = jax.dtypes.float0
     return (
         (g * dw1[:n_et, 0, :]).astype(w1.dtype),
         (g * dw2[:n_et, 0, :]).astype(w2.dtype),
         (g * dh1[:nt]).astype(h1.dtype),
         (g * dh2[:nt]).astype(h2.dtype),
-        jnp.zeros_like(dense_adj),
-        np.zeros(q_flat.shape, f0),
-        np.zeros(seed_arr.shape, f0),
     )
-
-
-_dense_nn.defvjp(_fwd, _bwd)
 
 
 def dense_bce_nn_sum_xla(w1_l2, w2_l2, h1, h2, dense_adj, q_int, key,

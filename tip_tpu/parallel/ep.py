@@ -70,7 +70,7 @@ def partition_relations(chunk_type: np.ndarray, n_et: int, n_dev: int) -> Relati
 
 
 def ep_shard_graph(graph: dict, gs, part: RelationPartition,
-                   dense_adj=None, neg_q=None):
+                   dense_adj=None, neg_q=None, sym_pages=None, neg_q8=None):
     """Reorder the chunk axis device-major by relation owner and pad each
     device's segment to a common length with inert chunks (dst = n_drug,
     valid = 0 — zero contribution to binning and loss).
@@ -135,6 +135,20 @@ def ep_shard_graph(graph: dict, gs, part: RelationPartition,
     else:
         g.pop("dd_adj_t", None)
         g.pop("dd_neg_q", None)
+    if sym_pages is not None:
+        # Symmetric packed pages (data/packing.py:sym_block_pack) re-laid
+        # the same way: [n_et, NB, B, B] -> [n_dev * r_max, NB, B, B] in
+        # slot order; zero pages / zero thresholds on padding slots are
+        # inert in the sym fused BCE.
+        sp = np.asarray(sym_pages)
+        g["dd_adj_sym"] = jnp.asarray(_scatter_rows(sp, part).reshape(
+            part.n_dev * part.r_max, *sp.shape[1:]))
+        q8 = np.asarray(neg_q8)
+        g["dd_neg_q8"] = jnp.asarray(_scatter_rows(q8, part).reshape(
+            part.n_dev * part.r_max, q8.shape[1]))
+    else:
+        g.pop("dd_adj_sym", None)
+        g.pop("dd_neg_q8", None)
     gs2 = dataclasses.replace(
         gs, dd_n_chunks=part.n_dev * seg, ep_r_max=part.r_max
     )

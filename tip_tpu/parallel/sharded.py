@@ -42,7 +42,7 @@ _SHARDED_KEYS = (
     "ppr_src", "ppr_dstl", "ppr_w", "dpr_srcl", "dpr_dst", "dpr_w",
     # dense fast-path shards: EP relation pages (parallel/ep.py) and the
     # ring-row-sharded dense (A+I) (parallel/ring.py)
-    "dd_adj_t", "dd_neg_q", "pp_a1r",
+    "dd_adj_t", "dd_neg_q", "dd_adj_sym", "dd_neg_q8", "pp_a1r",
 )
 
 
@@ -65,7 +65,8 @@ def shard_graph(graph: dict, gs, n_devices: int):
     # dense P-P path reuses, harmless replicated.)
     graph = {
         k: v for k, v in graph.items()
-        if k not in ("dd_adj_t", "dd_neg_q", "pp_a1")
+        if k not in ("dd_adj_t", "dd_neg_q", "dd_adj_sym", "dd_neg_q8",
+                     "pp_a1")
     }
     pad = (-n_chunks) % n_devices
     if pad == 0:

@@ -41,6 +41,12 @@ def main() -> None:
              "varying --seed for seed-replication runs on one split "
              "(reference protocol: one split, tip.py:21-36)",
     )
+    parser.add_argument(
+        "--resume", default=None, metavar="DIR_OR_PREFIX",
+        help="resume from a checkpoint: a --checkpoint-dir (latest epoch "
+             "picked) or a specific path prefix like runs/ck/ep49 "
+             "(reference restore recipe: test/pd_net.py:236-247)",
+    )
     parser.add_argument("--out", default=None, help="write final metrics JSON here")
     parser.add_argument(
         "--report", default=None,
@@ -86,7 +92,8 @@ def main() -> None:
             data, d_norm=np.sqrt(data.drug_feat.sum(axis=1)).astype(np.float32)
         )
     _, result = train(
-        cfg, tcfg, data, profile_dir=args.profile_dir, backend=args.backend
+        cfg, tcfg, data, profile_dir=args.profile_dir, backend=args.backend,
+        resume=args.resume,
     )
     if args.out:
         with open(args.out, "w") as f:

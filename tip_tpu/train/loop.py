@@ -32,37 +32,104 @@ class TrainState:
 
 
 def save_checkpoint(path: str, state: TrainState) -> None:
-    """Orbax param checkpointing; falls back to npz if orbax is unavailable."""
+    """Checkpoint params + optimizer state + step.
+
+    Orbax when available, npz otherwise — and the two are restore-compatible
+    through :func:`restore_checkpoint`, which mirrors this fallback order
+    (round-4 verdict: an npz written on an orbax-less host must stay
+    restorable everywhere).  The opt_state is included so a resumed run
+    continues the SAME Adam trajectory (reference restore recipes:
+    test/pd_net.py:236-247, model/ddm-nn.py:231-242 — commented out there).
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"params": state.params, "opt_state": state.opt_state}
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(
             os.path.abspath(f"{path}.orbax"),
-            {"params": state.params, "step": state.step},
+            dict(payload, step=state.step),
             force=True,
         )
         ckptr.wait_until_finished()
     except Exception:
-        flat, treedef = jax.tree.flatten(state.params)
+        pflat, _ = jax.tree.flatten(state.params)
+        oflat, _ = jax.tree.flatten(state.opt_state)
         np.savez(
             f"{path}.npz",
             step=state.step,
-            treedef=str(treedef),
-            **{f"p{i}": np.asarray(x) for i, x in enumerate(flat)},
+            **{f"p{i}": np.asarray(x) for i, x in enumerate(pflat)},
+            **{f"o{i}": np.asarray(x) for i, x in enumerate(oflat)},
         )
 
 
-def restore_checkpoint(path: str, template: dict):
-    import orbax.checkpoint as ocp
+def restore_checkpoint(path: str, template: dict, opt_template=None):
+    """Restore (params, step) or (params, opt_state, step) from ``path``.
 
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        os.path.abspath(f"{path}.orbax"),
-        {"params": template, "step": 0},
-    )
-    return restored["params"], int(restored["step"])
+    Tries ``path.orbax`` then ``path.npz`` (the exact mirror of
+    save_checkpoint's fallback).  ``template`` / ``opt_template`` supply the
+    pytree structure; npz leaves are matched by flatten order with shapes
+    verified.  With ``opt_template`` None the opt_state is dropped and the
+    two-tuple keeps the old API.
+    """
+    def unflatten(zf_or_dict, prefix, tmpl):
+        flat_t, treedef = jax.tree.flatten(tmpl)
+        flat = [np.asarray(zf_or_dict[f"{prefix}{i}"]) for i in range(len(flat_t))]
+        for have, want in zip(flat, flat_t):
+            if have.shape != jnp.shape(want):
+                raise ValueError(
+                    f"checkpoint leaf shape {have.shape} != template "
+                    f"{jnp.shape(want)}; wrong template or checkpoint"
+                )
+        return jax.tree.unflatten(treedef, flat)
+
+    if os.path.exists(f"{path}.orbax"):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        raw = ckptr.restore(os.path.abspath(f"{path}.orbax"))
+        # restructure by template flatten-order (raw comes back as plain
+        # nested containers; opt_state tuples arrive as lists)
+        params = jax.tree.unflatten(
+            jax.tree.structure(template), jax.tree.leaves(raw["params"])
+        )
+        out = params, raw.get("opt_state"), int(raw["step"])
+        if opt_template is not None:
+            out = (params, jax.tree.unflatten(
+                jax.tree.structure(opt_template),
+                jax.tree.leaves(raw["opt_state"]),
+            ), out[2])
+    elif os.path.exists(f"{path}.npz"):
+        with np.load(f"{path}.npz") as zf:
+            params = unflatten(zf, "p", template)
+            opt = (unflatten(zf, "o", opt_template)
+                   if opt_template is not None else None)
+            out = params, opt, int(zf["step"])
+    else:
+        raise FileNotFoundError(f"no checkpoint at {path}.orbax or {path}.npz")
+    if opt_template is None:
+        return out[0], out[2]
+    return out
+
+
+def latest_checkpoint(ckpt_dir: str) -> str:
+    """Newest checkpoint path-prefix in a directory ('ep{N}' by step, else
+    'final'); accepts a direct prefix path too."""
+    if os.path.exists(f"{ckpt_dir}.orbax") or os.path.exists(f"{ckpt_dir}.npz"):
+        return ckpt_dir
+    eps = []
+    for name in os.listdir(ckpt_dir):
+        base = name.removesuffix(".orbax").removesuffix(".npz")
+        if base.startswith("ep") and base[2:].isdigit():
+            eps.append((int(base[2:]), base))
+    if eps:
+        return os.path.join(ckpt_dir, max(eps)[1])
+    if os.path.exists(os.path.join(ckpt_dir, "final.orbax")) or os.path.exists(
+        os.path.join(ckpt_dir, "final.npz")
+    ):
+        return os.path.join(ckpt_dir, "final")
+    raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
 
 
 def train(
@@ -72,8 +139,17 @@ def train(
     log: Callable[[str], None] = print,
     profile_dir: Optional[str] = None,
     backend: str = "auto",
+    resume: Optional[str] = None,
 ):
-    """Train TIP on a packed tri-graph; returns (state, final_metrics)."""
+    """Train TIP on a packed tri-graph; returns (state, final_metrics).
+
+    ``resume``: checkpoint path-prefix or directory (latest_checkpoint) to
+    restore params + opt_state + step from; training continues at that
+    epoch.  Per-epoch sampling keys are ``fold_in(key, epoch)`` — a pure
+    function of (seed, epoch), not of loop history — so a killed-and-resumed
+    run replays the exact key stream of an uninterrupted one
+    (tests/test_model.py::test_train_resume_identical).
+    """
     from tip_tpu.train.model import preferred_dense_dtype
 
     graph, gs = make_graph_arrays(
@@ -89,6 +165,12 @@ def train(
 
     opt = optax.adam(tcfg.lr)
     state = TrainState(params=params, opt_state=opt.init(params))
+    if resume:
+        ck = latest_checkpoint(resume)
+        state.params, state.opt_state, state.step = restore_checkpoint(
+            ck, state.params, state.opt_state
+        )
+        log(json.dumps({"resumed_from": ck, "epoch": state.step}))
 
     @jax.jit
     def step_fn(params, opt_state, graph, key):
@@ -102,8 +184,8 @@ def train(
 
     history = []
     t_start = time.time()
-    for epoch in range(tcfg.epochs):
-        key, k_step = jax.random.split(key)
+    for epoch in range(state.step, tcfg.epochs):
+        k_step = jax.random.fold_in(key, epoch)
         if profile_dir and epoch == 2:
             jax.profiler.start_trace(profile_dir)
         t0 = time.time()

@@ -199,6 +199,22 @@ def make_graph_arrays(
         graph["dd_neg_q"] = jnp.asarray(
             poisson_neg_thresholds(data.dd_train, data.n_drug)
         )
+        from tip_tpu.data.packing import (
+            poisson_neg_thresholds_sym, sym_block_pack,
+        )
+
+        try:
+            # Symmetric upper-block-triangle int8 layout: the preferred
+            # stream for the fused dense BCE (ops/pallas_dense_bce_sym.py)
+            # — 377 MB vs 1.09 GB at Decagon scale and ~31% fewer VPU
+            # cells.  Unavailable (ValueError) when pages are asymmetric
+            # or counts exceed int8; the full tile-padded layout remains.
+            graph["dd_adj_sym"] = jnp.asarray(sym_block_pack(da))
+            graph["dd_neg_q8"] = jnp.asarray(
+                poisson_neg_thresholds_sym(data.dd_train, data.n_drug)
+            )
+        except ValueError:
+            pass
         from tip_tpu.data.packing import dense_pp_feasible
 
         if pp_dense and dense_pp_feasible(data.n_prot):
@@ -320,7 +336,8 @@ class TIP:
             # (this path only serves eval-time encodes at EP scale).
             graph = {
                 k: v for k, v in graph.items()
-                if k not in ("dd_adj_t", "dd_neg_q")
+                if k not in ("dd_adj_t", "dd_neg_q", "dd_adj_sym",
+                             "dd_neg_q8")
             }
         out = dict(enc_params)
         for name in ("rgcn1", "rgcn2"):
@@ -393,11 +410,12 @@ class TIP:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         z = self.encode(params, graph, remat=remat, axis_name=axis_name)
         dense_adj = graph.get("dd_adj_t")
-        if (
-            dense_adj is not None
+        sym_ok = "dd_adj_sym" in graph and "dd_neg_q8" in graph
+        fused_ok = (
+            (dense_adj is not None or sym_ok)
             and self.cfg.decoder == "distmult"
             and self.cfg.negatives in ("auto", "poisson")
-            and "dd_neg_q" in graph
+            and ("dd_neg_q" in graph or sym_ok)
             # unsharded plain graph, or shard_map with relation-partitioned
             # pages; a replicated dense adjacency under shard_map would
             # double-count and never ships (parallel/sharded.py drops it)
@@ -405,7 +423,16 @@ class TIP:
                 (axis_name is None and not gs.ep_r_max)
                 or (axis_name is not None and gs.ep_r_max > 0)
             )
-        ):
+        )
+        if self.cfg.negatives == "poisson" and not fused_ok:
+            raise ValueError(
+                "negatives='poisson' was pinned but the fused dense BCE "
+                "path cannot run here (it needs the dense adjacency pages "
+                "and the distmult decoder, and under shard_map an "
+                "EP-partitioned graph); use negatives='auto' to allow the "
+                "sampled fallback"
+            )
+        if fused_ok:
             # Fused dense BCE: positives AND Poissonized negatives from one
             # logits tile per relation — the sampler, the negative SDDMM and
             # the separate positive pass all collapse into this kernel
@@ -414,16 +441,33 @@ class TIP:
             # co-partitioned by relation (parallel/ep.py), each device
             # scores its local block and ONE psum totals the loss; the
             # device-folded key decorrelates the per-page PRNG streams.
-            if self.backend == "pallas":
-                from tip_tpu.ops.pallas_dense_bce import dense_bce_sum as bce
-            else:
-                from tip_tpu.ops.pallas_dense_bce import (
-                    dense_bce_sum_xla as bce,
-                )
             w = params["decoder"]["weight"]
             if axis_name is not None and gs.ep_r_max:
                 w = w[0]  # [1, r_max, d] shard view -> local rows
-            total = bce(w, z, dense_adj, graph["dd_neg_q"], key)
+            if sym_ok:
+                # Symmetric packed layout: half the stream, ~31% of the
+                # cells skipped (ops/pallas_dense_bce_sym.py).
+                if self.backend == "pallas":
+                    from tip_tpu.ops.pallas_dense_bce_sym import (
+                        dense_bce_sym_sum as bce_sym,
+                    )
+                else:
+                    from tip_tpu.ops.pallas_dense_bce_sym import (
+                        dense_bce_sym_sum_xla as bce_sym,
+                    )
+                total = bce_sym(
+                    w, z, graph["dd_adj_sym"], graph["dd_neg_q8"], key
+                )
+            else:
+                if self.backend == "pallas":
+                    from tip_tpu.ops.pallas_dense_bce import (
+                        dense_bce_sum as bce,
+                    )
+                else:
+                    from tip_tpu.ops.pallas_dense_bce import (
+                        dense_bce_sum_xla as bce,
+                    )
+                total = bce(w, z, dense_adj, graph["dd_neg_q"], key)
             if axis_name is not None:
                 total = jax.lax.psum(total, axis_name)
             return total / float(gs.dd_n_valid)
