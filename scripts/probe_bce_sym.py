@@ -1,7 +1,7 @@
 """Standalone latency: sym-packed vs full-tile fused dense BCE at Decagon
-scale (real data).  Chained-iteration slope timing (N dependent calls, one
-fetch); pages passed as jit ARGUMENTS (a closure would inline them as
-constants into the remote-compile payload — HTTP 413 on axon)."""
+scale (real data).  Slope timing like scripts/component_latency.py: each
+iteration is a separate jitted dispatch chained through an `a * 0` input
+(no CSE), and the k2-k1 slope cancels per-dispatch overhead."""
 import time
 
 import jax
@@ -10,43 +10,23 @@ import jax.numpy as jnp
 from tip_tpu.data import cached_trigraph, load_decagon_raw
 from tip_tpu.data.packing import (
     cast_dense_adj, dense_relation_adj, pad_dense_adj,
-    poisson_neg_thresholds, poisson_neg_thresholds_sym, sym_block_pack,
+    poisson_neg_thresholds, poisson_neg_thresholds_sym, sym_strip_pack,
 )
 from tip_tpu.ops.pallas_dense_bce import dense_bce_sum
 from tip_tpu.ops.pallas_dense_bce_sym import dense_bce_sym_sum
 
-N = 20
 
-
-def fwd_time(fn, w, z, pages, q, key):
-    def chain(w, z, pages, q, key):
+def slope(fn, k1=4, k2=24):
+    def run(k):
         acc = jnp.zeros(())
-        for _ in range(N):
-            acc = acc + fn(w, z + acc * 1e-30, pages, q, key)
-        return acc
+        for i in range(k):
+            acc = acc + fn(i, acc)
+        return float(acc)
 
-    c = jax.jit(chain)
-    jax.block_until_ready(c(w, z, pages, q, key))
-    t0 = time.time()
-    jax.block_until_ready(c(w, z, pages, q, key))
-    return (time.time() - t0) / N
-
-
-def fwdbwd_time(fn, w, z, pages, q, key):
-    def chain(w, z, pages, q, key):
-        acc = jnp.zeros(())
-        for _ in range(N):
-            val, (dw, dz) = jax.value_and_grad(
-                lambda w, z: fn(w, z, pages, q, key), argnums=(0, 1)
-            )(w, z + acc * 1e-30)
-            acc = acc + val + jnp.sum(dw) * 1e-30 + jnp.sum(dz) * 1e-30
-        return acc
-
-    c = jax.jit(chain)
-    jax.block_until_ready(c(w, z, pages, q, key))
-    t0 = time.time()
-    jax.block_until_ready(c(w, z, pages, q, key))
-    return (time.time() - t0) / N
+    run(2)
+    t0 = time.perf_counter(); run(k1); t1 = time.perf_counter()
+    run(k2); t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (k2 - k1) * 1000
 
 
 def main():
@@ -55,7 +35,7 @@ def main():
     da = dense_relation_adj(data.dd_train, data.n_drug)
     full = jnp.asarray(pad_dense_adj(cast_dense_adj(da, jnp.bfloat16)))
     q3 = jnp.asarray(poisson_neg_thresholds(data.dd_train, data.n_drug))
-    sym = jnp.asarray(sym_block_pack(da))
+    sym = jnp.asarray(sym_strip_pack(da))
     q8 = jnp.asarray(poisson_neg_thresholds_sym(data.dd_train, data.n_drug))
     print(f"full pages: {full.nbytes/1e6:.0f} MB  sym: {sym.nbytes/1e6:.0f} MB")
     d = 16
@@ -68,11 +48,17 @@ def main():
         ("full", dense_bce_sum, full, q3),
         ("sym", dense_bce_sym_sum, sym, q8),
     ):
-        t1 = fwd_time(fn, w, z, pages, q, key)
-        t2 = fwdbwd_time(fn, w, z, pages, q, key)
-        gbs = pages.nbytes / t1 / 1e9
-        print(f"{name}: fwd {t1*1e3:.2f} ms ({gbs:.0f} GB/s page stream), "
-              f"fwd+bwd {t2*1e3:.2f} ms")
+        fwd = jax.jit(lambda w, z, pages, q, a, fn=fn: fn(w, z + a * 0, pages, q, key))
+        t1 = slope(lambda i, a: fwd(w, z, pages, q, a))
+        vgr = jax.jit(lambda w, z, pages, q, a, fn=fn: (
+            lambda v, g: v + 1e-20 * (jnp.sum(g[0]) + jnp.sum(g[1])))(
+            *jax.value_and_grad(
+                lambda w, z: fn(w, z, pages, q, key), argnums=(0, 1)
+            )(w, z + a * 0)))
+        t2 = slope(lambda i, a: vgr(w, z, pages, q, a))
+        gbs = pages.nbytes / (t1 / 1e3) / 1e9
+        print(f"{name}: fwd {t1:.2f} ms ({gbs:.0f} GB/s page stream), "
+              f"fwd+bwd {t2:.2f} ms")
 
 
 if __name__ == "__main__":

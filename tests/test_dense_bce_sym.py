@@ -20,7 +20,8 @@ from tip_tpu.data.packing import (
     dense_relation_adj,
     poisson_neg_thresholds_sym,
     sym_block_layout,
-    sym_block_pack,
+    sym_strip_offsets,
+    sym_strip_pack,
 )
 from tip_tpu.ops.pallas_dense_bce_sym import (
     B,
@@ -36,7 +37,7 @@ def setup():
                              seed=3)
     data = build_trigraph(raw, split_rate=0.9, seed=3)
     da = dense_relation_adj(data.dd_train, data.n_drug)
-    pages = jnp.asarray(sym_block_pack(da))
+    pages = jnp.asarray(sym_strip_pack(da))
     q8 = jnp.asarray(poisson_neg_thresholds_sym(data.dd_train, data.n_drug))
     k1, k2 = jax.random.split(jax.random.key(0))
     w = jax.random.normal(k1, (data.n_et, 8)) * 0.3
@@ -158,20 +159,22 @@ def test_xla_fallback_expectation_matches_full_estimator(setup):
 
 def test_pack_roundtrip_and_symmetry_guard(setup):
     data, da_full, pages, _, _, _ = setup
-    nb, blocks = sym_block_layout(data.n_drug)
+    nb, _ = sym_block_layout(data.n_drug)
+    offs, widths = sym_strip_offsets(nb)
     packed = np.asarray(pages)
     npad = nb * B
     full = np.zeros((data.n_et, npad, npad), np.int64)
-    for k, (i, j) in enumerate(blocks):
-        full[:, i * B:(i + 1) * B, j * B:(j + 1) * B] = packed[:, k]
-        if i != j:
-            full[:, j * B:(j + 1) * B, i * B:(i + 1) * B] = np.swapaxes(
-                packed[:, k], 1, 2
-            )
+    for i in range(nb):
+        strip = packed[:, :, offs[i]:offs[i + 1]]  # [R, B, (nb-i)*B]
+        full[:, i * B:(i + 1) * B, i * B:] = strip
+        # mirror the off-diagonal part of the strip below the diagonal
+        full[:, (i + 1) * B:, i * B:(i + 1) * B] = np.swapaxes(
+            strip[:, :, B:], 1, 2
+        )
     np.testing.assert_array_equal(
         full[:, : data.n_drug, : data.n_drug], da_full
     )
     bad = da_full.copy()
     bad[0, 0, 1] += 1  # break symmetry
     with pytest.raises(ValueError, match="not symmetric"):
-        sym_block_pack(bad)
+        sym_strip_pack(bad)

@@ -397,8 +397,9 @@ def test_dense_sharded_parity_and_training(setup):
     )
     model = TIP.for_data(cfg, data, gs, backend="xla")
     mesh = make_mesh(8)
-    det_graph = dict(graph, dd_neg_q=jnp.zeros_like(graph["dd_neg_q"]),
-                     dd_neg_q8=jnp.zeros_like(graph["dd_neg_q8"]))
+    # dense_dtype='float32' => no sym strips (bf16-gated), full-tile path
+    assert "dd_adj_sym" not in graph
+    det_graph = dict(graph, dd_neg_q=jnp.zeros_like(graph["dd_neg_q"]))
     sgraph, _ = shard_graph(det_graph, gs, 8)
     assert "dd_adj_t" not in sgraph  # replicated dense layout dropped
     rgraph, rgs = add_ring_pp(sgraph, data, gs, 8)
@@ -407,9 +408,8 @@ def test_dense_sharded_parity_and_training(setup):
     egraph, egs = ep_shard_graph(
         rgraph, rgs, part, dense_adj=det_graph["dd_adj_t"],
         neg_q=det_graph["dd_neg_q"],
-        sym_pages=det_graph["dd_adj_sym"], neg_q8=det_graph["dd_neg_q8"],
     )
-    assert "dd_adj_t" in egraph and "dd_adj_sym" in egraph
+    assert "dd_adj_t" in egraph
     smodel = dataclasses.replace(model, gs=egs)
     params = model.init(jax.random.key(3))
     epp = ep_params(params, part)
@@ -441,7 +441,6 @@ def test_dense_sharded_parity_and_training(setup):
     egraph2, egs2 = ep_shard_graph(
         rgraph, rgs, part, dense_adj=graph["dd_adj_t"],
         neg_q=graph["dd_neg_q"],
-        sym_pages=graph["dd_adj_sym"], neg_q8=graph["dd_neg_q8"],
     )
     smodel2 = dataclasses.replace(model, gs=egs2)
     egraph2_p = place_graph(egraph2, mesh)
@@ -460,3 +459,66 @@ def test_dense_sharded_parity_and_training(setup):
     after = float(eval_loss(p, egraph2_p, jax.random.key(0)))
     assert np.isfinite([before, after]).all()
     assert after < before
+
+
+def test_sym_sharded_parity(setup):
+    """The SYMMETRIC strip layout (bf16 regime) under EP sharding: loss and
+    grad parity vs the single-device sym path with zeroed negative
+    thresholds (deterministic positive half — sym strips ride the same EP
+    relation partition as the full pages)."""
+    import dataclasses
+    from tip_tpu.parallel import (
+        add_ring_pp, ep_param_specs, ep_params, ep_shard_graph,
+        partition_relations, place_params, unep_params,
+    )
+    from tip_tpu.parallel.mesh import EDGE_AXIS
+    from tip_tpu.parallel.sharded import graph_specs
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    data, _, _, _ = setup
+    graph, gs = make_graph_arrays(data, dd_chunk=16, pp_window=64,
+                                  pp_chunk=32, dense_dtype="bfloat16")
+    assert "dd_adj_sym" in graph
+    cfg = ModelConfig(
+        mode="cat", prot_drug_dim=6, n_embed=10, n_hid1=8, n_hid2=6,
+        num_base=4, pp_hid1=8, pp_hid2=6,
+    )
+    model = TIP.for_data(cfg, data, gs, backend="xla")
+    mesh = make_mesh(8)
+    det_graph = dict(graph, dd_neg_q=jnp.zeros_like(graph["dd_neg_q"]),
+                     dd_neg_q8=jnp.zeros_like(graph["dd_neg_q8"]))
+    sgraph, _ = shard_graph(det_graph, gs, 8)
+    rgraph, rgs = add_ring_pp(sgraph, data, gs, 8)
+    part = partition_relations(np.asarray(rgraph["dd_chunk_type"]), rgs.n_et, 8)
+    egraph, egs = ep_shard_graph(
+        rgraph, rgs, part, dense_adj=det_graph["dd_adj_t"],
+        neg_q=det_graph["dd_neg_q"],
+        sym_pages=det_graph["dd_adj_sym"], neg_q8=det_graph["dd_neg_q8"],
+    )
+    assert "dd_adj_sym" in egraph
+    smodel = dataclasses.replace(model, gs=egs)
+    params = model.init(jax.random.key(3))
+    epp = ep_params(params, part)
+    pspecs = ep_param_specs(epp, EDGE_AXIS)
+    egraph_p = place_graph(egraph, mesh)
+    epp_p = place_params(epp, mesh, pspecs)
+
+    l0, g0 = jax.value_and_grad(
+        lambda p: model.loss(p, det_graph, jax.random.key(7))
+    )(params)
+    ls, gsh = jax.jit(shard_map(
+        lambda p, g, k: jax.value_and_grad(
+            lambda q: smodel.loss(q, g, k, axis_name=EDGE_AXIS))(p),
+        mesh=mesh, in_specs=(pspecs, graph_specs(egraph_p), P()),
+        out_specs=(P(), pspecs),
+    ))(epp_p, egraph_p, jax.random.key(7))
+    assert abs(float(l0) - float(ls)) < 2e-5, (float(l0), float(ls))
+    back = unep_params(jax.tree.map(np.asarray, gsh), part)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g0)[0],
+        jax.tree_util.tree_flatten_with_path(back)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=str(path),
+        )

@@ -215,23 +215,41 @@ def sym_block_layout(n_nodes: int, block: int = SYM_BLOCK):
     return nb, [(i, j) for i in range(nb) for j in range(i, nb)]
 
 
-def sym_block_pack(da: np.ndarray, block: int = SYM_BLOCK) -> np.ndarray:
-    """Pack symmetric count pages [R, n, n] -> [R, NB, block, block] int8.
+def sym_strip_offsets(nb: int, block: int = SYM_BLOCK):
+    """Column offset of each block-row strip in the packed strip layout.
 
-    Stores only the upper block triangle (sym_block_layout order).  At
-    Decagon scale this is 377 MB int8 vs 1.09 GB tile-padded bf16 — the
+    Strip I holds the upper-triangle tail of block-row I — the CONTIGUOUS
+    [block, (nb - I) * block] slice page[I*b:(I+1)*b, I*b:] — so offsets
+    are the prefix sums of the decreasing strip widths."""
+    widths = [(nb - i) * block for i in range(nb)]
+    offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
+    return offs, widths
+
+
+def sym_strip_pack(da: np.ndarray, block: int = SYM_BLOCK) -> np.ndarray:
+    """Pack symmetric count pages [R, n, n] -> strips [R, block, NB*block]
+    int8 (NB = nb(nb+1)/2 upper-triangle blocks, nb = ceil(n/block)).
+
+    Strip I (columns sym_strip_offsets[I]..+width) is the contiguous
+    upper-triangle tail of block-row I: its first ``block`` columns are the
+    diagonal block (cells stand for themselves), the rest stand for
+    themselves AND their mirrors.  One [128, width] strip per block row
+    keeps the consumers' MXU dots and VPU ops large (a [128, 128] block
+    granularity measured ~2x slower on both units).
+
+    At Decagon scale: 377 MB int8 vs 1.09 GB tile-padded bf16 for the
     dominant HBM stream of the training step (fused dense BCE + M-first
-    R-GCN) drops ~3x, and the dense BCE's per-cell VPU work drops ~30%
-    (648*768 -> 21*128^2 cells per page).  Raises if any page is not
-    symmetric or any count exceeds int8 (the callers then keep the full
-    tile-padded layout).
+    R-GCN), with ~31% of the padded cells never touched.  Raises if any
+    page is not symmetric or any count exceeds int8 (callers then keep
+    the full tile-padded layout).
     """
     r, n, n2 = da.shape
     assert n == n2
-    nb, blocks = sym_block_layout(n, block)
+    nb, _ = sym_block_layout(n, block)
     if da.size and int(da.max()) > 127:
         raise ValueError("count exceeds int8; use the full dense layout")
-    out = np.zeros((r, len(blocks), block, block), np.int8)
+    offs, widths = sym_strip_offsets(nb, block)
+    out = np.zeros((r, block, int(offs[-1])), np.int8)
     pad = nb * block - n
     for t in range(r):  # per-page to bound host memory
         page = np.pad(da[t], ((0, pad), (0, pad)))
@@ -240,9 +258,9 @@ def sym_block_pack(da: np.ndarray, block: int = SYM_BLOCK) -> np.ndarray:
                 f"relation page {t} is not symmetric; the symmetric packed "
                 "layout requires mirrored undirected edges"
             )
-        for k, (i, j) in enumerate(blocks):
-            out[t, k] = page[
-                i * block:(i + 1) * block, j * block:(j + 1) * block
+        for i in range(nb):
+            out[t, :, offs[i]:offs[i + 1]] = page[
+                i * block:(i + 1) * block, i * block:
             ]
     return out
 
@@ -326,25 +344,26 @@ def poisson_neg_thresholds(edges: TypedEdges, n_nodes: int) -> np.ndarray:
 
 
 def dense_pp_feasible(n_nodes: int) -> bool:
-    """Whether the [n_nodes, n_nodes] dense bf16 (A+I) fits a sane HBM
+    """Whether the [n_nodes, n_nodes] dense int8 (A+I) fits a sane HBM
     budget (~1 GB).  Single source of truth for the dense P-P policy —
     shared by train/model.py:make_graph_arrays and models/pp.py."""
-    return n_nodes * n_nodes * 2 <= 1.0e9
+    return n_nodes * n_nodes * 1 <= 1.0e9
 
 
 def dense_pp_parts(pp_norm_index: np.ndarray, n_nodes: int):
-    """Dense (A + I) in bfloat16 plus the D^-1/2 diagonal, factored EXACTLY.
+    """Dense (A + I) in int8 plus the D^-1/2 diagonal, factored EXACTLY.
 
     The cached COO normalization stores w_e = dinv[src]*dinv[dst]
-    (gcn_normalize) — those products are not bf16-representable, but the
-    0/1 adjacency is, so the dense path keeps the scaling OUTSIDE the
-    matmul:  A_hat @ x = dinv * ((A+I) @ (dinv * x)).  At Decagon scale the
-    [19081, 19081] bf16 buffer is 728 MB of HBM streamed once per layer
-    pass — 4x fewer FLOPs than the windowed one-hot scatter kernels
-    (2 N^2 d vs 2 E_pad * window * d) on MXU-shaped operands.
+    (gcn_normalize) — those products are not representable in a narrow
+    dtype, but the 0/1 adjacency is, so the dense path keeps the scaling
+    OUTSIDE the matmul:  A_hat @ x = dinv * ((A+I) @ (dinv * x)).  Storage
+    is int8 (exact 0/1): the consumers upcast to bf16 INSIDE the dot and
+    XLA fuses the convert into the operand read, so the HBM stream is the
+    int8 bytes — at Decagon scale 364 MB per layer pass (was 728 MB bf16;
+    measured 649 GB/s of int8 vs 652 GB/s of bf16 on the [N, N] x [N, d]
+    dot = 2x less stream time), and still 4x fewer FLOPs than the
+    windowed one-hot scatter kernels on MXU-shaped operands.
     """
-    import ml_dtypes  # noqa: F401  (registers bfloat16 with numpy)
-
     a1 = np.zeros((n_nodes, n_nodes), np.uint8)
     a1[pp_norm_index[1], pp_norm_index[0]] = 1
     deg = a1.sum(axis=1, dtype=np.int64)
@@ -359,7 +378,7 @@ def dense_pp_parts(pp_norm_index: np.ndarray, n_nodes: int):
             "COO/windowed path"
         )
     dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1)), 0.0)
-    return a1.astype(np.dtype("bfloat16")), dinv.astype(np.float32)
+    return a1.astype(np.int8), dinv.astype(np.float32)
 
 
 def max_multiplicity(edges: TypedEdges, n_nodes: int) -> int:

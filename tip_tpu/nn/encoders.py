@@ -175,6 +175,18 @@ def fm_encoder_apply(
         graph["dd_deg"],
     )
     dense_adj = graph.get("dd_adj_t")
+    sym_strips = graph.get("dd_adj_sym")
+    if sym_strips is not None and (axis_name is None or gs.ep_r_max > 0):
+        # Preferred: both layers over ONE symmetric strip-packed int8
+        # stream (nn/rgcn.py:dense_rgcn_pair_apply_sym, ~3x less HBM
+        # traffic than the full bf16 pages).  EP sharding partitions the
+        # strips by relation like the full pages (parallel/ep.py).
+        from tip_tpu.nn.rgcn import dense_rgcn_pair_apply_sym
+
+        return dense_rgcn_pair_apply_sym(
+            params["rgcn1"], params["rgcn2"], x, sym_strips,
+            graph["dd_deg"], axis_name=axis_name,
+        )
     if dense_adj is not None and (axis_name is None or gs.ep_r_max > 0):
         # Both layers over ONE adjacency stream (M-first reassociation;
         # nn/rgcn.py:dense_rgcn_pair_apply).  Under shard_map the adjacency

@@ -53,17 +53,22 @@ def gcn_conv_apply_dense(params, x, a1, dinv):
     # Cast the SMALL operand down (dtype promotion the other way would
     # materialize a [N, N] f32 copy of the adjacency); default-precision
     # f32 matmuls round MXU inputs to bf16 anyway, so this is numerically
-    # the same as an all-f32 dot on TPU.
-    if a1.dtype != jnp.float32 and jax.default_backend() == "cpu":
+    # the same as an all-f32 dot on TPU.  int8 storage (the default,
+    # data/packing.py:dense_pp_parts) upcasts to bf16 — XLA fuses the
+    # convert into the dot's operand read, so the HBM stream is the int8
+    # bytes (measured 649 GB/s of int8 = 2x less stream time than bf16
+    # storage, forward AND transpose-read backward).
+    cdt = jnp.bfloat16 if a1.dtype == jnp.int8 else a1.dtype
+    if cdt != jnp.float32 and jax.default_backend() == "cpu":
         # CPU XLA lacks the mixed bf16->f32 dot; f32 over bf16-rounded
         # inputs matches the TPU bf16-input / f32-accumulate path.
         agg = jnp.einsum(
             "ds,sf->df", a1.astype(jnp.float32),
-            hm.astype(a1.dtype).astype(jnp.float32),
+            hm.astype(cdt).astype(jnp.float32),
         )
     else:
         agg = jnp.einsum(
-            "ds,sf->df", a1, hm.astype(a1.dtype),
+            "ds,sf->df", a1.astype(cdt), hm.astype(cdt),
             preferred_element_type=jnp.float32,
         )
     out = agg * dinv[:, None]

@@ -271,12 +271,15 @@ def ring_pp_encoder_apply_dense(params, graph, gs, axis_name: str,
 
     def conv_local(xw_full, bias):
         g = xw_full * dinv[: xw_full.shape[0], None]
-        if a1l.dtype != jnp.float32 and jax.default_backend() == "cpu":
-            out = a1l.astype(jnp.float32) @ g.astype(a1l.dtype).astype(
+        # int8 row blocks upcast to bf16 inside the dot (fused convert —
+        # see nn/gcn.py:gcn_conv_apply_dense)
+        cdt = jnp.bfloat16 if a1l.dtype == jnp.int8 else a1l.dtype
+        if cdt != jnp.float32 and jax.default_backend() == "cpu":
+            out = a1l.astype(jnp.float32) @ g.astype(cdt).astype(
                 jnp.float32)
         else:
             out = jnp.matmul(
-                a1l, g.astype(a1l.dtype),
+                a1l.astype(cdt), g.astype(cdt),
                 preferred_element_type=jnp.float32,
             )
         out = out * dinv_l

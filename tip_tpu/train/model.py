@@ -200,21 +200,26 @@ def make_graph_arrays(
             poisson_neg_thresholds(data.dd_train, data.n_drug)
         )
         from tip_tpu.data.packing import (
-            poisson_neg_thresholds_sym, sym_block_pack,
+            poisson_neg_thresholds_sym, sym_strip_pack,
         )
 
-        try:
-            # Symmetric upper-block-triangle int8 layout: the preferred
-            # stream for the fused dense BCE (ops/pallas_dense_bce_sym.py)
-            # — 377 MB vs 1.09 GB at Decagon scale and ~31% fewer VPU
-            # cells.  Unavailable (ValueError) when pages are asymmetric
-            # or counts exceed int8; the full tile-padded layout remains.
-            graph["dd_adj_sym"] = jnp.asarray(sym_block_pack(da))
-            graph["dd_neg_q8"] = jnp.asarray(
-                poisson_neg_thresholds_sym(data.dd_train, data.n_drug)
-            )
-        except ValueError:
-            pass
+        if jnp.dtype(dense_dtype) == jnp.bfloat16:
+            # Symmetric upper-triangle strip layout: the preferred stream
+            # for the fused dense BCE and the M-first R-GCN
+            # (ops/pallas_dense_bce_sym.py, nn/rgcn.py:..._sym) — 377 MB
+            # int8 vs 1.09 GB at Decagon scale.  Its matmuls run with
+            # bf16 inputs, so it rides the same precision regime as bf16
+            # page storage (preferred_dense_dtype): a float32 dense_dtype
+            # (pinned-precision users, exact-parity tests) keeps the full
+            # tile-padded f32 path.  ValueError (asymmetric pages or
+            # counts beyond int8) also falls back to the full layout.
+            try:
+                graph["dd_adj_sym"] = jnp.asarray(sym_strip_pack(da))
+                graph["dd_neg_q8"] = jnp.asarray(
+                    poisson_neg_thresholds_sym(data.dd_train, data.n_drug)
+                )
+            except ValueError:
+                pass
         from tip_tpu.data.packing import dense_pp_feasible
 
         if pp_dense and dense_pp_feasible(data.n_prot):
