@@ -43,3 +43,47 @@ def test_names_and_decagon_ranks():
     cmp = decagon_rank_comparison(per, et_ids)
     assert cmp["n_relations"] == len(et_ids)
     assert len(cmp["decagon_best_ranks"]) > 0
+
+
+def test_go_enrichment_machinery(tmp_path):
+    """GAF/OBO parsing + Fisher-exact enrichment (check_data cells 18-32
+    analog) on synthetic fixtures: a term concentrated in the study set
+    must rank first with a small p; a uniform term must not."""
+    from tip_tpu.analysis.explain import go_enrichment, parse_gaf, parse_obo
+
+    gaf = tmp_path / "mini.gaf"
+    lines = ["!gaf-version: 2.2"]
+    # 40 background genes: all carry GO:0000002; genes 0-4 carry GO:0000001
+    for i in range(40):
+        terms = ["GO:0000002"] + (["GO:0000001"] if i < 5 else [])
+        for t in terms:
+            lines.append(
+                "\t".join(["DB", f"ID{i}", f"G{i}", "", t, "REF", "IEA",
+                           "", "P", "", "", "protein", "taxon:9606",
+                           "20240101", "DB"])
+            )
+    # one NOT-qualified row that must be ignored
+    lines.append("\t".join(["DB", "IDx", "G39", "NOT", "GO:0000001", "REF",
+                            "IEA", "", "P", "", "", "protein",
+                            "taxon:9606", "20240101", "DB"]))
+    gaf.write_text("\n".join(lines) + "\n")
+    obo = tmp_path / "mini.obo"
+    obo.write_text(
+        "format-version: 1.2\n\n[Term]\nid: GO:0000001\n"
+        "name: study process\nnamespace: biological_process\n\n"
+        "[Term]\nid: GO:0000002\nname: common process\n"
+        "namespace: biological_process\nalt_id: GO:0000099\n\n"
+    )
+    anno = parse_gaf(str(gaf))
+    assert anno["G0"] == {"GO:0000001", "GO:0000002"}
+    assert "GO:0000001" not in anno["G39"]  # NOT row skipped
+    terms = parse_obo(str(obo))
+    assert terms["GO:0000001"]["name"] == "study process"
+    assert terms["GO:0000099"]["name"] == "common process"  # alt_id alias
+
+    rows = go_enrichment([f"G{i}" for i in range(5)], anno, terms)
+    assert rows[0]["go_id"] == "GO:0000001"
+    assert rows[0]["p"] < 1e-4 and rows[0]["n_study"] == 5
+    uniform = [r for r in rows if r["go_id"] == "GO:0000002"][0]
+    assert uniform["p"] == 1.0
+    assert rows[0]["q"] <= uniform["q"]

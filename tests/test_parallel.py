@@ -461,18 +461,21 @@ def test_dense_sharded_parity_and_training(setup):
     assert after < before
 
 
-def test_sym_sharded_parity(setup):
+@pytest.mark.parametrize("mesh_shape", ["1d", "2d"])
+def test_sym_sharded_parity(setup, mesh_shape):
     """The SYMMETRIC strip layout (bf16 regime) under EP sharding: loss and
     grad parity vs the single-device sym path with zeroed negative
     thresholds (deterministic positive half — sym strips ride the same EP
-    relation partition as the full pages)."""
+    relation partition as the full pages).  '2d' runs the (ring=2,
+    edges=4) mesh (parallel/mesh.py:make_mesh2): the P-P ring on the
+    leading axis, the edge-chunk/EP shard flattened over both."""
     import dataclasses
     from tip_tpu.parallel import (
         add_ring_pp, ep_param_specs, ep_params, ep_shard_graph,
         partition_relations, place_params, unep_params,
     )
-    from tip_tpu.parallel.mesh import EDGE_AXIS
-    from tip_tpu.parallel.sharded import graph_specs
+    from tip_tpu.parallel.mesh import make_mesh2, mesh_axes
+    from tip_tpu.parallel.sharded import mesh_graph_specs
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -485,12 +488,16 @@ def test_sym_sharded_parity(setup):
         num_base=4, pp_hid1=8, pp_hid2=6,
     )
     model = TIP.for_data(cfg, data, gs, backend="xla")
-    mesh = make_mesh(8)
+    mesh = make_mesh(8) if mesh_shape == "1d" else make_mesh2(2, 4)
+    axes, _, n_flat = mesh_axes(mesh)
+    n_ring = mesh.devices.shape[0]
     det_graph = dict(graph, dd_neg_q=jnp.zeros_like(graph["dd_neg_q"]),
                      dd_neg_q8=jnp.zeros_like(graph["dd_neg_q8"]))
-    sgraph, _ = shard_graph(det_graph, gs, 8)
-    rgraph, rgs = add_ring_pp(sgraph, data, gs, 8)
-    part = partition_relations(np.asarray(rgraph["dd_chunk_type"]), rgs.n_et, 8)
+    sgraph, _ = shard_graph(det_graph, gs, n_flat)
+    rgraph, rgs = add_ring_pp(sgraph, data, gs, n_ring)
+    part = partition_relations(
+        np.asarray(rgraph["dd_chunk_type"]), rgs.n_et, n_flat
+    )
     egraph, egs = ep_shard_graph(
         rgraph, rgs, part, dense_adj=det_graph["dd_adj_t"],
         neg_q=det_graph["dd_neg_q"],
@@ -500,7 +507,7 @@ def test_sym_sharded_parity(setup):
     smodel = dataclasses.replace(model, gs=egs)
     params = model.init(jax.random.key(3))
     epp = ep_params(params, part)
-    pspecs = ep_param_specs(epp, EDGE_AXIS)
+    pspecs = ep_param_specs(epp, axes)
     egraph_p = place_graph(egraph, mesh)
     epp_p = place_params(epp, mesh, pspecs)
 
@@ -509,8 +516,8 @@ def test_sym_sharded_parity(setup):
     )(params)
     ls, gsh = jax.jit(shard_map(
         lambda p, g, k: jax.value_and_grad(
-            lambda q: smodel.loss(q, g, k, axis_name=EDGE_AXIS))(p),
-        mesh=mesh, in_specs=(pspecs, graph_specs(egraph_p), P()),
+            lambda q: smodel.loss(q, g, k, axis_name=axes))(p),
+        mesh=mesh, in_specs=(pspecs, mesh_graph_specs(egraph_p, mesh), P()),
         out_specs=(P(), pspecs),
     ))(epp_p, egraph_p, jax.random.key(7))
     assert abs(float(l0) - float(ls)) < 2e-5, (float(l0), float(ls))

@@ -11,11 +11,20 @@ Equivalent of the shippable half of the reference's ``check_data.ipynb``:
   * cells 9-15 look up the drugs targeting a given protein through the
     drug-protein adjacency and the shipped index maps.
 
-The notebook's second half (GO-term enrichment of those proteins, cells
-18-32) downloads ``goa_human.gaf.gz`` and ``go-basic.obo`` from EBI/OBO at
-run time; this environment has no network egress, so GO enrichment is an
-explicit non-goal (documented in README.md) — the hook is the protein lists
-this module produces.
+The notebook's second half (cells 18-32) runs GO-term enrichment of those
+proteins over ``goa_human.gaf`` + ``go-basic.obo``, which it DOWNLOADS from
+EBI/OBO at run time (check_data.ipynb cells 21, 27 — nothing is shipped).
+The full enrichment machinery is implemented here — minimal GAF 2.x / OBO
+parsers (:func:`parse_gaf`, :func:`parse_obo`) and a Fisher-exact
+overrepresentation test (:func:`go_enrichment`) over the protein lists
+:func:`proteins_of_side_effect` produces — so a user with the same two
+files locally gets the notebook's full workflow:
+
+    python -m tip_tpu.analysis.explain A.json B.json --proteins-for 964 \
+        --gaf goa_human.gaf --obo go-basic.obo
+
+The download itself remains out of scope (no network egress here; the
+reference has the identical runtime dependency).
 
 CLI:  python -m tip_tpu.analysis.explain runs/pr_hmp_nn_report.json \
           runs/dr_df_report.json [--top 30]
@@ -130,6 +139,125 @@ def proteins_of_side_effect(
     }
 
 
+def parse_gaf(path: str) -> Dict[str, set]:
+    """Minimal GAF 2.x parser: gene symbol (column 3) -> set of GO ids
+    (column 5).  Rows with a NOT qualifier are skipped (standard practice);
+    gzip-compressed files are handled (the EBI download is .gaf.gz —
+    reference: check_data.ipynb cell 21)."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    anno: Dict[str, set] = {}
+    with opener(path, "rt") as f:
+        for line in f:
+            if line.startswith("!"):
+                continue
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 5 or "NOT" in cols[3]:
+                continue
+            anno.setdefault(cols[2], set()).add(cols[4])
+    return anno
+
+
+def parse_obo(path: str) -> Dict[str, dict]:
+    """Minimal OBO parser: GO id -> {name, namespace} (alt_ids aliased).
+    Covers what the notebook uses of goatools' obo_parser
+    (check_data.ipynb cell 28)."""
+    terms: Dict[str, dict] = {}
+    cur: Optional[dict] = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line == "[Term]":
+                cur = {"id": None, "name": "", "namespace": "", "alts": []}
+            elif not line and cur and cur["id"]:
+                terms[cur["id"]] = cur
+                for a in cur["alts"]:
+                    terms[a] = cur
+                cur = None
+            elif cur is not None and ":" in line:
+                k, v = line.split(":", 1)
+                v = v.strip()
+                if k == "id" and cur["id"] is None:
+                    cur["id"] = v
+                elif k == "name":
+                    cur["name"] = v
+                elif k == "namespace":
+                    cur["namespace"] = v
+                elif k == "alt_id":
+                    cur["alts"].append(v)
+    if cur and cur["id"]:
+        terms[cur["id"]] = cur
+    return terms
+
+
+def go_enrichment(
+    study_genes, anno: Dict[str, set], obo: Optional[Dict[str, dict]] = None,
+    background_genes=None, namespace: Optional[str] = None, top: int = 20,
+) -> List[dict]:
+    """Fisher-exact GO overrepresentation of ``study_genes`` against
+    ``background_genes`` (default: every annotated gene).
+
+    The check_data cells 26-32 analog (one term-per-row table instead of
+    goatools objects): for each GO term annotating >= 1 study gene, the
+    one-sided Fisher exact p of the 2x2 (in study x has term) table, with
+    a Benjamini-Hochberg q value over the tested terms.
+    """
+    from scipy.stats import fisher_exact
+
+    study = [g for g in study_genes if g in anno]
+    bg = [g for g in (background_genes or anno.keys()) if g in anno]
+    n_study, n_bg = len(study), len(bg)
+    term_study: Dict[str, int] = {}
+    for g in study:
+        for t in anno[g]:
+            term_study[t] = term_study.get(t, 0) + 1
+    term_bg: Dict[str, int] = {}
+    for g in bg:
+        for t in anno[g]:
+            term_bg[t] = term_bg.get(t, 0) + 1
+    rows = []
+    for t, k in term_study.items():
+        info = (obo or {}).get(t, {})
+        if namespace and info and info.get("namespace") != namespace:
+            continue
+        m = term_bg.get(t, k)
+        _, p = fisher_exact(
+            [[k, n_study - k], [m - k, n_bg - n_study - (m - k)]],
+            alternative="greater",
+        )
+        rows.append({
+            "go_id": t, "name": info.get("name", ""),
+            "namespace": info.get("namespace", ""),
+            "n_study": int(k), "n_background": int(m), "p": float(p),
+        })
+    rows.sort(key=lambda r: r["p"])
+    for rank, r in enumerate(rows, 1):  # Benjamini-Hochberg
+        r["q"] = min(1.0, r["p"] * len(rows) / rank)
+    for i in range(len(rows) - 2, -1, -1):
+        rows[i]["q"] = min(rows[i]["q"], rows[i + 1]["q"])
+    return rows[:top]
+
+
+def enrich_side_effect(
+    et: int, report_a: str, gaf_path: str, obo_path: Optional[str] = None,
+    data_dir: str = DEFAULT_DATA_DIR, top_proteins: int = 50,
+    top_terms: int = 20,
+) -> dict:
+    """End-to-end check_data cells 18-32: the most-shared target proteins
+    of one side-effect relation, GO-enriched against all targeted
+    proteins.  Gene ids in the Decagon maps are Entrez numerics; GAF keys
+    are symbols — both keys are tried per protein."""
+    prot = proteins_of_side_effect(
+        et, report_a, data_dir=data_dir, top=top_proteins
+    )
+    anno = parse_gaf(gaf_path)
+    obo = parse_obo(obo_path) if obo_path else None
+    genes = [str(p["gene_id"]) for p in prot["proteins"]]
+    prot["enrichment"] = go_enrichment(genes, anno, obo, top=top_terms)
+    return prot
+
+
 def main() -> None:
     import argparse
 
@@ -143,6 +271,12 @@ def main() -> None:
     ap.add_argument("--proteins-for", type=int, default=None, metavar="ET",
                     help="also list the most-shared target proteins of one "
                          "side-effect relation")
+    ap.add_argument("--gaf", default=None, metavar="GOA_GAF",
+                    help="GO annotation file (goa_human.gaf[.gz]) to "
+                         "enrich the --proteins-for list against "
+                         "(check_data cells 18-32)")
+    ap.add_argument("--obo", default=None, metavar="GO_OBO",
+                    help="go-basic.obo for term names/namespaces")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -154,12 +288,21 @@ def main() -> None:
               f"{r[args.metric + '_b']:7.4f} {r['delta']:7.4f}")
     out = {"comparison": rows}
     if args.proteins_for is not None:
-        prot = proteins_of_side_effect(args.proteins_for, args.report_a)
+        if args.gaf:
+            prot = enrich_side_effect(
+                args.proteins_for, args.report_a, args.gaf, args.obo
+            )
+        else:
+            prot = proteins_of_side_effect(args.proteins_for, args.report_a)
         out["proteins"] = prot
         print(f"\ntop shared target proteins of relation {args.proteins_for}:")
         for p in prot["proteins"][:10]:
             print(f"  gene {p['gene_id']}  targeted by "
                   f"{p['n_targeting_drugs']} of {prot['n_drugs']} drugs")
+        for r in prot.get("enrichment", [])[:10]:
+            print(f"  {r['go_id']} {r['name'][:40]:40s} "
+                  f"k={r['n_study']}/{r['n_background']} p={r['p']:.2e} "
+                  f"q={r['q']:.2e}")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)

@@ -130,18 +130,23 @@ def fm_encoder_apply(
             ring_pp_encoder_apply_dense,
         )
 
+        # On a 2-D (ring, edges) mesh the ring subsystem lives on the
+        # LEADING axis only (parallel/mesh.py:make_mesh2); the edge-chunk
+        # psums below still reduce over the full ``axis_name``.
+        ring_axis = (axis_name[0] if isinstance(axis_name, (tuple, list))
+                     else axis_name)
         if "pp_a1r" in graph:
             hp_local = ring_pp_encoder_apply_dense(
-                params["pp"], graph, gs, axis_name, x_prot=x_prot
+                params["pp"], graph, gs, ring_axis, x_prot=x_prot
             )
         else:
             hp_local = ring_pp_encoder_apply(
-                params["pp"], graph, gs, axis_name, backend=backend,
+                params["pp"], graph, gs, ring_axis, backend=backend,
                 x_prot=x_prot,
             )
         hd = ring_hierarchy_apply(
             params["hier"], hp_local, graph, graph["dp_deg"], gs.n_drug,
-            axis_name,
+            ring_axis,
         )
     else:
         if "pp_a1" in graph:

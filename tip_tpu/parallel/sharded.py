@@ -89,17 +89,35 @@ def shard_graph(graph: dict, gs, n_devices: int):
     return g, n_chunks + pad
 
 
-def graph_specs(graph: dict):
-    """PartitionSpec per graph entry: chunk axis sharded, rest replicated."""
+# Ring-subsystem keys (parallel/ring.py): sharded on the RING axis of a
+# 2-D mesh, on the one axis of a 1-D mesh.
+_RING_KEYS = ("ppr_src", "ppr_dstl", "ppr_w", "dpr_srcl", "dpr_dst",
+              "dpr_w", "pp_a1r")
+
+
+def graph_specs(graph: dict, axes=EDGE_AXIS, ring_axis=None):
+    """PartitionSpec per graph entry: chunk-axis keys sharded over ``axes``
+    (a name or a tuple — on a 2-D mesh the D-D chunk/EP shard flattens over
+    BOTH axes), ring keys over ``ring_axis``, rest replicated."""
+    ring_axis = ring_axis or axes
     return {
-        k: P(EDGE_AXIS) if k in _SHARDED_KEYS or k == "dd_valid" else P()
+        k: (P(ring_axis) if k in _RING_KEYS
+            else P(axes) if k in _SHARDED_KEYS or k == "dd_valid"
+            else P())
         for k in graph
     }
 
 
+def mesh_graph_specs(graph: dict, mesh):
+    from tip_tpu.parallel.mesh import mesh_axes
+
+    axes, ring_axis, _ = mesh_axes(mesh)
+    return graph_specs(graph, axes=axes, ring_axis=ring_axis)
+
+
 def place_graph(graph: dict, mesh):
     """Device_put the graph with its sharding layout (host -> mesh)."""
-    specs = graph_specs(graph)
+    specs = mesh_graph_specs(graph, mesh)
     return {
         k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in graph.items()
     }
@@ -120,16 +138,20 @@ def make_sharded_train_step(model, opt, mesh, remat: bool = False,
     replicated.
     """
 
+    from tip_tpu.parallel.mesh import mesh_axes
+
+    axes, _, _ = mesh_axes(mesh)
+
     def local_grads(params, graph, key):
         loss, grads = jax.value_and_grad(
-            lambda p: model.loss(p, graph, key, remat=remat, axis_name=EDGE_AXIS)
+            lambda p: model.loss(p, graph, key, remat=remat, axis_name=axes)
         )(params)
         return loss, grads
 
     p_specs = P() if param_specs is None else param_specs
 
     def step(params, opt_state, graph, key):
-        specs = graph_specs(graph)
+        specs = mesh_graph_specs(graph, mesh)
         loss, grads = shard_map(
             local_grads,
             mesh=mesh,

@@ -120,7 +120,7 @@ def make_graph_arrays(
     pp_chunk: int = 512,
     dense_dtype: str | None = None,
     planes: bool | None = None,
-    pp_dense: bool = True,
+    pp_dense: bool | None = None,
 ):
     """Pack the training graph into a device pytree + static metadata.
 
@@ -135,7 +135,7 @@ def make_graph_arrays(
     nn/rgcn.py) — the preferred path whenever
     :func:`dense_rgcn_feasible` holds.
 
-    ``pp_dense``: ship the dense bf16 (A+I) P-P buffers (``pp_a1`` /
+    ``pp_dense``: ship the dense int8 (A+I) P-P buffers (``pp_a1`` /
     ``pp_dinv``) when feasible.  False keeps the COO/windowed P-P paths
     selectable by ``backend`` — the encoder's dense branch keys on the
     buffers' presence (nn/encoders.py), so this is the supported opt-out
@@ -220,21 +220,27 @@ def make_graph_arrays(
                 )
             except ValueError:
                 pass
-        from tip_tpu.data.packing import dense_pp_feasible
+    from tip_tpu.data.packing import dense_pp_feasible
 
-        if pp_dense and dense_pp_feasible(data.n_prot):
-            # Dense P-P path rides the same feasibility regime: ship the
-            # exact 0/1 (A+I) in bf16 + the factored D^-1/2 diagonal
-            # (data/packing.py:dense_pp_parts, nn/gcn.py).
-            from tip_tpu.data.packing import dense_pp_parts
+    # Dense P-P is an INDEPENDENT subsystem of the D-D dense path:
+    # pp_dense=True ships it even with dense_dtype None (the D-D
+    # fallback/scaling configuration still wants the dense P-P GEMM —
+    # bench.py's no_dense lane); the default None ties it to dense_dtype
+    # (the historical contract the sparse-path A/B tests rely on).
+    if pp_dense is None:
+        pp_dense = dense_dtype is not None
+    if pp_dense and dense_pp_feasible(data.n_prot):
+        # Ship the exact 0/1 (A+I) in int8 + the factored D^-1/2 diagonal
+        # (data/packing.py:dense_pp_parts, nn/gcn.py).
+        from tip_tpu.data.packing import dense_pp_parts
 
-            try:
-                a1, dinv = dense_pp_parts(data.pp_norm_index, data.n_prot)
-            except ValueError:  # duplicate P-P edges: 0/1 can't hold them
-                a1 = None
-            if a1 is not None:
-                graph["pp_a1"] = jnp.asarray(a1)
-                graph["pp_dinv"] = jnp.asarray(dinv)
+        try:
+            a1, dinv = dense_pp_parts(data.pp_norm_index, data.n_prot)
+        except ValueError:  # duplicate P-P edges: 0/1 can't hold them
+            a1 = None
+        if a1 is not None:
+            graph["pp_a1"] = jnp.asarray(a1)
+            graph["pp_dinv"] = jnp.asarray(dinv)
     if data.drug_feat is not None:
         graph["drug_feat"] = jnp.asarray(data.drug_feat)
     if data.d_norm is not None:
