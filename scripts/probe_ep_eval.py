@@ -17,19 +17,40 @@ from tip_tpu.train.model import (
 )
 
 
-def timed_eval(model, params, graph, test, tn, n=10):
-    f = jax.jit(model.evaluate)
-    out = f(params, graph, test, tn)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(params, graph, test, tn)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n, out
+def timed_eval(model, params, graph, test, tn, n=12):
+    """Median per-call wall time with a sync per call (includes ONE axon
+    host round trip, identical for every variant measured here — the
+    differences, not the absolute floor, are the signal).  Params are
+    perturbed per call so no executor layer can serve a cached result."""
+    import jax.numpy as jnp
+
+    def f(params, graph, test, tn, eps):
+        p = dict(params, encoder=dict(
+            params["encoder"],
+            embed=params["encoder"]["embed"] + eps,
+        ))
+        return model.evaluate(p, graph, test, tn)
+
+    fj = jax.jit(f)
+    out = fj(params, graph, test, tn, jnp.float32(0))
+    float(out[1]["auroc"])  # value fetch: block_until_ready alone is
+    # unreliable on axon (see bench.py)
+    walls = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        out = fj(params, graph, test, tn, jnp.float32(i) * 1e-9)
+        float(out[1]["auroc"])
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
+    return walls[len(walls) // 2], out
 
 
 def main():
     import dataclasses
+
+    from tip_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     raw = load_decagon_raw()
     data = cached_trigraph(raw, split_rate=0.9, seed=1111)
@@ -60,9 +81,16 @@ def main():
         emodel = dataclasses.replace(model, gs=egs)
         eparams = ep_params(params, part)
         dt_ep, (_, avg_ep) = timed_eval(emodel, eparams, egraph, test, tn)
-        print(f"EP({n_dev}) eval (chunked fallback): {dt_ep*1e3:8.1f} ms  "
+        print(f"EP({n_dev}) eval (slot-ordered dense): {dt_ep*1e3:8.1f} ms  "
               f"auroc={float(avg_ep['auroc']):.4f}  "
-              f"({dt_ep/dt:.1f}x the dense eval)")
+              f"({dt_ep/dt:.2f}x the dense eval)")
+        # the pre-fix behavior: no dense pages shipped -> chunked fallback
+        egraph_nd, egs_nd = ep_shard_graph(graph, gs, part)
+        emodel_nd = dataclasses.replace(model, gs=egs_nd)
+        dt_nd, (_, avg_nd) = timed_eval(emodel_nd, eparams, egraph_nd, test, tn)
+        print(f"EP({n_dev}) eval (chunked fallback, pre-fix): "
+              f"{dt_nd*1e3:8.1f} ms  auroc={float(avg_nd['auroc']):.4f}  "
+              f"({dt_nd/dt:.2f}x the dense eval)")
 
 
 if __name__ == "__main__":

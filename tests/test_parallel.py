@@ -529,3 +529,44 @@ def test_sym_sharded_parity(setup, mesh_shape):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, err_msg=str(path),
         )
+
+
+def test_ep_unsharded_dense_eval_matches_plain(setup):
+    """EP eval encode rides the SLOT-ORDERED dense pages (M is
+    relation-order-invariant) instead of the chunked fallback: the
+    unsharded evaluate must equal the non-EP evaluate exactly."""
+    import dataclasses
+    from tip_tpu.parallel import ep_params, ep_shard_graph, partition_relations
+
+    data, _, _, _ = setup
+    graph, gs = make_graph_arrays(data, dd_chunk=16, pp_window=64,
+                                  pp_chunk=32, dense_dtype="bfloat16")
+    assert "dd_adj_sym" in graph
+    cfg = ModelConfig(
+        mode="cat", prot_drug_dim=6, n_embed=10, n_hid1=8, n_hid2=6,
+        num_base=4, pp_hid1=8, pp_hid2=6,
+    )
+    model = TIP.for_data(cfg, data, gs, backend="xla")
+    params = model.init(jax.random.key(5))
+    from tip_tpu.train.model import make_test_arrays
+
+    test = make_test_arrays(data)
+    tn = jax.jit(model.sample_test_negatives)(jax.random.key(6), test)
+    per0, avg0 = jax.jit(model.evaluate)(params, graph, test, tn)
+
+    part = partition_relations(np.asarray(graph["dd_chunk_type"]), gs.n_et, 8)
+    egraph, egs = ep_shard_graph(
+        graph, gs, part,
+        dense_adj=graph["dd_adj_t"], neg_q=graph["dd_neg_q"],
+        sym_pages=graph["dd_adj_sym"], neg_q8=graph["dd_neg_q8"],
+    )
+    emodel = dataclasses.replace(model, gs=egs)
+    eparams = ep_params(params, part)
+    per1, avg1 = jax.jit(emodel.evaluate)(eparams, egraph, test, tn)
+    for k in avg0:
+        np.testing.assert_allclose(
+            float(avg0[k]), float(avg1[k]), atol=1e-6, err_msg=k
+        )
+    np.testing.assert_allclose(
+        np.asarray(per0["auprc"]), np.asarray(per1["auprc"]), atol=1e-5
+    )

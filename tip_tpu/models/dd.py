@@ -93,6 +93,20 @@ def make_dd_graph_arrays(data: TriGraphData, chunk: int = 1024,
         graph["dd_neg_q"] = jnp.asarray(
             poisson_neg_thresholds(data.dd_train, data.n_drug)
         )
+        if jnp.dtype(dense_dtype) == jnp.bfloat16:
+            # symmetric strip layout — same gating and consumers as the
+            # TIP graph (train/model.py:make_graph_arrays)
+            from tip_tpu.data.packing import (
+                poisson_neg_thresholds_sym, sym_strip_pack,
+            )
+
+            try:
+                graph["dd_adj_sym"] = jnp.asarray(sym_strip_pack(da))
+                graph["dd_neg_q8"] = jnp.asarray(
+                    poisson_neg_thresholds_sym(data.dd_train, data.n_drug)
+                )
+            except ValueError:
+                pass
     if data.drug_feat is not None:
         graph["drug_feat"] = jnp.asarray(data.drug_feat)
     if data.d_norm is not None:
@@ -151,6 +165,17 @@ class DDModel:
         if "d_norm" in graph:
             x = x / graph["d_norm"][:, None]
         dense_adj = graph.get("dd_adj_t")
+        sym_strips = graph.get("dd_adj_sym")
+        if sym_strips is not None and axis_name is None:
+            # symmetric strip stream (nn/rgcn.py:dense_rgcn_pair_apply_sym
+            # — same fast path as the TIP encoder)
+            from tip_tpu.nn.rgcn import dense_rgcn_pair_apply_sym
+
+            x = dense_rgcn_pair_apply_sym(
+                params["rgcn1"], params["rgcn2"], x, sym_strips,
+                graph["dd_deg"],
+            )
+            return jax.nn.relu(x) if self.cfg.final_relu else x
         if dense_adj is not None and axis_name is None:
             # Both layers over ONE adjacency stream (M-first reassociation,
             # nn/rgcn.py:dense_rgcn_pair_apply — same fast path as the TIP
@@ -215,18 +240,33 @@ class DDModel:
             # are an outer SUM per relation (ops/pallas_dense_bce_nn.py).
             dec = params["decoder"]
             if self.cfg.decoder == "distmult":
-                if self.backend == "pallas":
-                    from tip_tpu.ops.pallas_dense_bce import (
-                        dense_bce_sum as bce,
+                if "dd_adj_sym" in graph and "dd_neg_q8" in graph:
+                    # symmetric strip layout (ops/pallas_dense_bce_sym.py)
+                    if self.backend == "pallas":
+                        from tip_tpu.ops.pallas_dense_bce_sym import (
+                            dense_bce_sym_sum as bce_sym,
+                        )
+                    else:
+                        from tip_tpu.ops.pallas_dense_bce_sym import (
+                            dense_bce_sym_sum_xla as bce_sym,
+                        )
+                    total = bce_sym(
+                        dec["weight"], z, graph["dd_adj_sym"],
+                        graph["dd_neg_q8"], key,
                     )
                 else:
-                    from tip_tpu.ops.pallas_dense_bce import (
-                        dense_bce_sum_xla as bce,
+                    if self.backend == "pallas":
+                        from tip_tpu.ops.pallas_dense_bce import (
+                            dense_bce_sum as bce,
+                        )
+                    else:
+                        from tip_tpu.ops.pallas_dense_bce import (
+                            dense_bce_sum_xla as bce,
+                        )
+                    total = bce(
+                        dec["weight"], z, graph["dd_adj_t"],
+                        graph["dd_neg_q"], key,
                     )
-                total = bce(
-                    dec["weight"], z, graph["dd_adj_t"],
-                    graph["dd_neg_q"], key,
-                )
             else:
                 if self.backend == "pallas":
                     from tip_tpu.ops.pallas_dense_bce_nn import (

@@ -92,25 +92,38 @@ def _page_math(nt, nb, q_ref, t, w_row, zb, page, grads: bool):
         u24 = jax.lax.shift_right_logical(
             pltpu.bitcast(pltpu.prng_random_bits((B, s)), jnp.int32), 8
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, s), 1)
-        diag = col < B  # first block of the strip = diagonal block
-        cnt = jnp.zeros((B, s), jnp.float32)
-        for kk in range(4):
-            q_cell = jnp.where(diag, q_ref[8 * t + kk], q_ref[8 * t + 4 + kk])
-            cnt = cnt + (u24 < q_cell).astype(jnp.float32)
+        # Per-rate-class counts WITHOUT per-cell selects: the diagonal
+        # block is the strip's first 128 columns (single rate, weight 1)
+        # and the tail is everything after (doubled rate, weight 2) — lane
+        # slices at the block boundary, one code path each.
+
+        def counts(u, qoff):
+            c = jnp.zeros(u.shape, jnp.float32)
+            for kk in range(4):
+                c = c + (u < q_ref[8 * t + qoff + kk]).astype(jnp.float32)
+            return c
+
+        cnt = jnp.concatenate(
+            [counts(u24[:, :B], 0), counts(u24[:, B:], 4)], axis=1
+        ) if s > B else counts(u24, 0)
         bad = da > 0
         if ragged:
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, s), 1)
             row = jax.lax.broadcasted_iota(jnp.int32, (B, s), 0)
             lim = nt - i * B
             bad = bad | (row >= lim) | (col >= lim)
         cnt = jnp.where(bad, jnp.float32(0), cnt)
-        posw = jnp.where(diag, jnp.float32(1), jnp.float32(2))
+        # positive weight: 1 on the diagonal block, 2 on the tail — fold
+        # into da column-slices instead of a per-cell select
+        daw = jnp.concatenate(
+            [da[:, :B], 2.0 * da[:, B:]], axis=1
+        ) if s > B else da
         sp = jax.nn.softplus(-logits)
-        acc = acc + jnp.sum(sp * (posw * da) + (sp + logits) * cnt)
+        acc = acc + jnp.sum(sp * daw + (sp + logits) * cnt)
         if not grads:
             continue
         sg = 1.0 - jnp.exp(-sp)  # sigmoid(-logits), reusing the softplus
-        g = cnt - sg * (posw * da + cnt)
+        g = cnt - sg * (daw + cnt)
         hi = jax.lax.dot_general(  # [B, d]: contract strip cols with zt rows
             g, zt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -338,13 +338,26 @@ class TIP:
             fix = lambda att: att[0]
             graph = dict(graph, dd_chunk_type=graph["dd_chunk_type_local"])
             gs = dataclasses.replace(gs, n_et=gs.ep_r_max)
+        elif "dd_adj_sym" in graph or "dd_adj_t" in graph:
+            # The dense pages are stored in EP SLOT order — and
+            # M = sum_t att[t] * DA[t] is invariant to any consistent
+            # relation order (padding slots: zero att rows x zero pages),
+            # so the unsharded eval encode feeds the dense pair with the
+            # slot-ordered att view directly: no slot gather, no chunked
+            # fallback.  Measured at Decagon/EP(8) scale: eval is
+            # dominated by test-edge scoring + metrics (~277 ms/call);
+            # the chunked-fallback encode added 7% (297 vs 277 ms) and
+            # this path removes it (runs/ep_eval_r5.out; r4 weak #6).
+            fix = lambda att: att.reshape(-1, att.shape[-1])
+            graph = {
+                k: v for k, v in graph.items()
+                if k not in ("dd_neg_q", "dd_neg_q8")
+            }
         else:
             slot = graph["ep_slot"]
             fix = lambda att: att.reshape(-1, att.shape[-1])[slot]
-            # The dense pages are in EP slot order — the unsharded path
-            # gathers att back to GLOBAL relation order, so the dense
-            # branch would mis-pair them: fall back to the chunked kernels
-            # (this path only serves eval-time encodes at EP scale).
+            # No dense pages shipped: gather att back to GLOBAL relation
+            # order for the chunked kernels.
             graph = {
                 k: v for k, v in graph.items()
                 if k not in ("dd_adj_t", "dd_neg_q", "dd_adj_sym",
