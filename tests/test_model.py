@@ -174,3 +174,22 @@ def test_checkpoint_roundtrip(tiny_graph, tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         params, restored,
     )
+
+
+def test_sync_every_history_identical(tiny_graph):
+    """Deferring the per-epoch host fetch (sync_every > 1) changes only
+    WHEN losses are fetched, never the training trajectory or records."""
+    from tip_tpu.train.loop import train
+
+    cfg = small_cfg()
+    base = dict(lr=0.05, seed=9, epochs=7, log_every=0, eval_every=3)
+    _, a = train(cfg, TrainConfig(sync_every=1, **base),
+                 tiny_graph, log=lambda s: None)
+    _, b = train(cfg, TrainConfig(sync_every=4, **base),
+                 tiny_graph, log=lambda s: None)
+    assert [r["epoch"] for r in a["history"]] == [r["epoch"] for r in b["history"]]
+    for ra, rb in zip(a["history"], b["history"]):
+        np.testing.assert_allclose(ra["loss"], rb["loss"], rtol=1e-6)
+        assert ("auprc" in ra) == ("auprc" in rb)
+    for k in ("auprc", "auroc", "ap"):
+        np.testing.assert_allclose(a["final"][k], b["final"][k], rtol=1e-6)

@@ -84,6 +84,13 @@ class TrainConfig:
     eval_every: int = 0  # 0 = eval only at the end
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # 0 = only final
+    # Fetch the loss to host every N epochs (1 = per step, the reference's
+    # behavior).  Each fetch is a device->host sync: on the tunneled TPU it
+    # costs more than the 9 ms step itself (RESULTS.md "why numbers
+    # differ"), so production runs should sync at the log cadence; losses
+    # for the skipped epochs are still recorded (they queue on device and
+    # are fetched together at the next sync point).
+    sync_every: int = 1
 
 
 _FLAG_TYPES = {"int": int, "float": float, "str": str, "bool": bool}

@@ -183,7 +183,25 @@ def train(
     eval_fn = jax.jit(model.evaluate)
 
     history = []
+    pending = []  # (epoch, device_loss) awaiting the next host sync
     t_start = time.time()
+
+    def sync_pending():
+        """Fetch queued device losses (one blocking round trip covers all
+        of them — later values force earlier ones), append records, guard
+        against non-finite loss."""
+        for ep, dl, dt in pending:
+            lv = float(dl)
+            if not np.isfinite(lv):
+                log(json.dumps({"epoch": ep, "loss": lv,
+                                "error": "non-finite loss; stopping"}))
+                raise FloatingPointError(f"non-finite loss {lv} at epoch {ep}")
+            rec = {"epoch": ep, "loss": lv, "sec": round(dt, 4)}
+            history.append(rec)
+            if tcfg.log_every and ep % tcfg.log_every == 0:
+                log(json.dumps(rec))
+        pending.clear()
+
     for epoch in range(state.step, tcfg.epochs):
         k_step = jax.random.fold_in(key, epoch)
         if profile_dir and epoch == 2:
@@ -192,25 +210,30 @@ def train(
         state.params, state.opt_state, loss = step_fn(
             state.params, state.opt_state, graph, k_step
         )
-        loss = float(loss)  # blocks; per-step timing stays honest
+        sync = tcfg.sync_every <= 1 or (epoch + 1) % tcfg.sync_every == 0
+        if sync:
+            # value fetch BEFORE the timestamp: per-step timing stays
+            # honest (block_until_ready alone is unreliable on axon)
+            loss = float(loss)
         dt = time.time() - t0
-        if not np.isfinite(loss):
-            log(json.dumps({"epoch": epoch, "loss": loss, "error": "non-finite loss; stopping"}))
-            raise FloatingPointError(f"non-finite loss {loss} at epoch {epoch}")
+        pending.append((epoch, loss, dt))
+        state.step += 1
+        if sync:
+            sync_pending()
         if profile_dir and epoch == 4:
             jax.profiler.stop_trace()
-        state.step += 1
-        rec = {"epoch": epoch, "loss": loss, "sec": round(dt, 4)}
         if tcfg.eval_every and (epoch + 1) % tcfg.eval_every == 0:
+            sync_pending()
             _, avg = eval_fn(state.params, graph, test, test_neg)
-            rec.update({k: round(float(v), 4) for k, v in avg.items()})
-        history.append(rec)
-        if tcfg.log_every and epoch % tcfg.log_every == 0:
-            log(json.dumps(rec))
+            history[-1].update(
+                {k: round(float(v), 4) for k, v in avg.items()}
+            )
         if tcfg.checkpoint_dir and tcfg.checkpoint_every and (
             (epoch + 1) % tcfg.checkpoint_every == 0
         ):
+            sync_pending()
             save_checkpoint(os.path.join(tcfg.checkpoint_dir, f"ep{epoch}"), state)
+    sync_pending()
 
     per_rel, avg = eval_fn(state.params, graph, test, test_neg)
     final = {k: float(v) for k, v in avg.items()}
