@@ -86,3 +86,42 @@ def test_dense_feasible_policy():
     assert dense_rgcn_feasible(645, 1097, "bfloat16")
     assert dense_rgcn_feasible(645, 1097, "float32")
     assert not dense_rgcn_feasible(19081, 1097, "bfloat16")
+
+
+def test_sym_rgcn_pair_matches_full_pair(small_data):
+    """dense_rgcn_pair_apply_sym (strip-packed int8) == dense_rgcn_pair_apply
+    (full bf16 pages): same math, reassociated — bf16-input tolerance."""
+    import jax.numpy as jnp
+    from tip_tpu.data.packing import (
+        cast_dense_adj, dense_relation_adj, pad_dense_adj, sym_strip_pack,
+    )
+    from tip_tpu.nn.rgcn import (
+        dense_rgcn_pair_apply, dense_rgcn_pair_apply_sym, rgcn_init,
+    )
+
+    data = small_data
+    da = dense_relation_adj(data.dd_train, data.n_drug)
+    full = jnp.asarray(pad_dense_adj(cast_dense_adj(da, jnp.bfloat16)))
+    strips = jnp.asarray(sym_strip_pack(da))
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    p1 = rgcn_init(k1, 12, 10, data.n_et, 4, after_relu=False)
+    p2 = rgcn_init(k2, 10, 6, data.n_et, 4, after_relu=True)
+    x = jax.random.normal(k3, (data.n_drug, 12)) * 0.5
+    deg = jnp.asarray(data.dd_train_deg)
+
+    out_full = dense_rgcn_pair_apply(p1, p2, x, full, deg)
+    out_sym = dense_rgcn_pair_apply_sym(p1, p2, x, strips, deg)
+    scale = float(jnp.abs(out_full).max())
+    np.testing.assert_allclose(
+        np.asarray(out_sym), np.asarray(out_full), atol=2e-2 * scale
+    )
+    g_full = jax.grad(lambda q: jnp.sum(
+        dense_rgcn_pair_apply(q, p2, x, full, deg) ** 2))(p1)
+    g_sym = jax.grad(lambda q: jnp.sum(
+        dense_rgcn_pair_apply_sym(q, p2, x, strips, deg) ** 2))(p1)
+    for k in g_full:
+        s = float(jnp.abs(g_full[k]).max())
+        np.testing.assert_allclose(
+            np.asarray(g_sym[k]), np.asarray(g_full[k]),
+            atol=3e-2 * max(s, 1e-6), err_msg=k,
+        )

@@ -122,7 +122,10 @@ def _page_math(nt, nb, q_ref, t, w_row, zb, page, grads: bool):
         acc = acc + jnp.sum(sp * daw + (sp + logits) * cnt)
         if not grads:
             continue
-        sg = 1.0 - jnp.exp(-sp)  # sigmoid(-logits), reusing the softplus
+        # sigmoid(-L) = 1 - exp(-softplus(-L)): one extra exp reuses the
+        # softplus (a shared-exp + reciprocal/select variant measured
+        # SLOWER — the VPU's exp is cheaper than the select chain)
+        sg = 1.0 - jnp.exp(-sp)
         g = cnt - sg * (daw + cnt)
         hi = jax.lax.dot_general(  # [B, d]: contract strip cols with zt rows
             g, zt, (((1,), (0,)), ((), ())),
